@@ -1,0 +1,189 @@
+"""Multi-head attention for the MV-VDM (Pallas flash attention + XLA fallback).
+
+Replaces xformers ``memory_efficient_attention`` (used by every attention
+processor in the reference, attention_processor.py:103,233,268,405,416,656,691).
+
+Two paths:
+  * ``attention_xla`` — einsum + fp32 softmax; always correct; used on CPU,
+    for small sequences, and as the backward path.
+  * ``flash_attention`` — Pallas TPU kernel with online softmax, never
+    materializing the (Sq, Sk) score matrix in HBM. Head dims (40/80/160 for
+    SD1.5 heads) are zero-padded to the 128-lane width inside the kernel.
+
+The public entry is :func:`multi_head_attention` which takes merged-head
+inputs (B, S, H*D) like the reference's Attention module, picks a backend,
+and is differentiable (flash forward pairs with an XLA backward via
+``jax.custom_vjp``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    b, s, c = x.shape
+    return x.reshape(b, s, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    b, h, s, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, s, h * d)
+
+
+def attention_xla(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float
+) -> jnp.ndarray:
+    """(B, H, S, D) attention with fp32 softmax."""
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention (non-causal, no mask — the MV-VDM never masks)
+# ---------------------------------------------------------------------------
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
+    """One (batch·head, q-block) program: stream K/V blocks with online softmax."""
+    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
+    bq = q.shape[0]
+    sk = k_ref.shape[1]
+    num_kb = sk // block_k
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (BQ, BK)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    d = q.shape[-1]
+    init = (
+        jnp.zeros((bq, d), jnp.float32),
+        jnp.full((bq, 1), -jnp.inf, jnp.float32),
+        jnp.zeros((bq, 1), jnp.float32),
+    )
+    acc, m, l = jax.lax.fori_loop(0, num_kb, body, init)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+    pad = (-x.shape[axis]) % multiple
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def _flash_attention_fwd_impl(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
+    block_q: int = 256, block_k: int = 512,
+) -> jnp.ndarray:
+    """(B, H, S, D) flash attention forward on TPU."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    # fold batch and heads; pad D to lane width, S to block multiples
+    qf = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, 128), 1, block_q)
+    kf = _pad_to(k.reshape(b * h, sk, d), 2, 128)
+    vf = _pad_to(v.reshape(b * h, sk, d), 2, 128)
+    # pad K length — padded keys would win the softmax, so mask via -inf trick:
+    # instead pad K with zeros and rely on extra keys only if sk % block_k != 0.
+    pad_k = (-sk) % block_k
+    if pad_k:
+        kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
+        vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
+        # zero-key logits = 0; to keep them from contributing weight, offset
+        # is handled below by masking probabilities through a -inf bias on q·0
+        # — cheapest correct fix: subtract large constant from padded logits
+        # by giving padded keys a large negative value in the first lane of q?
+        # Simpler: fall back to XLA for ragged K.
+        raise ValueError("flash_attention requires Sk % block_k == 0; use XLA fallback")
+
+    sq_p = qf.shape[1]
+    dp = qf.shape[2]
+    grid = (b * h, sq_p // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, kf.shape[1], dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, vf.shape[1], dp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+    )(qf, kf, vf)
+    return out[:, :sq, :d].reshape(b, h, sq, d)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention(q, k, v, scale):
+    return _flash_attention_fwd_impl(q, k, v, scale)
+
+
+def _flash_fwd(q, k, v, scale):
+    return _flash_attention_fwd_impl(q, k, v, scale), (q, k, v)
+
+
+def _flash_bwd(scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, scale), q, k, v)
+    return vjp(g)
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _flash_supported(q: jnp.ndarray, k: jnp.ndarray, block_k: int = 512) -> bool:
+    sk = k.shape[2]
+    if sk % block_k != 0:
+        return False
+    # VMEM budget: K/V blocks (full Sk × padded D) must fit comfortably
+    dp = ((q.shape[3] + 127) // 128) * 128
+    kv_bytes = 2 * sk * dp * 4
+    return kv_bytes < 8 * 1024 * 1024
+
+
+def multi_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    scale: Optional[float] = None,
+    backend: str = "auto",
+) -> jnp.ndarray:
+    """Merged-head attention: q (B, Sq, C), k/v (B, Sk, C) → (B, Sq, C)."""
+    d = q.shape[-1] // num_heads
+    if scale is None:
+        scale = d ** -0.5
+    qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
+    use_flash = False
+    if backend == "flash":
+        use_flash = True
+    elif backend == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        use_flash = on_tpu and q.shape[1] >= 1024 and _flash_supported(qh, kh)
+    if use_flash:
+        out = _flash_attention(qh, kh, vh, scale)
+    else:
+        out = attention_xla(qh, kh, vh, scale)
+    return _merge_heads(out)

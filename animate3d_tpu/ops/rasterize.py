@@ -1,0 +1,345 @@
+"""Differentiable 3D gaussian-splat rasterizer (TPU-native).
+
+Replaces the reference's CUDA ``diff-gaussian-rasterization`` dependency
+(SURVEY.md §2.2; renderer/diff_gaussian_rasterizer_advanced_4d.py:8-11,161-170)
+with an XLA/Pallas design built around *fixed shapes*:
+
+  1. Project all N gaussians (EWA splatting: view transform, perspective
+     Jacobian, 2D covariance + 0.3 px dilation, 3σ radius) — one fused
+     elementwise pass.
+  2. Tile binning: for every image tile (16×16 px), select up to K
+     intersecting gaussians front-to-back via a single ``top_k`` over depth
+     (masked by tile-overlap) — fixed K instead of the CUDA version's
+     variable-length per-tile lists.
+  3. Composite each tile over its K gaussians with an exclusive cumulative
+     transmittance product — differentiable by construction, so the backward
+     pass is XLA autodiff instead of a hand-written CUDA kernel.
+
+Semantics (culling thresholds, dilation, alpha clamps, ndc2pix convention,
+SH evaluation, depth/alpha accumulation) follow the Inria kernel + ashawkey
+depth/alpha fork the reference installs (docs/install.md:18-20).
+
+All math fp32. The compositing stage also has a Pallas kernel variant
+(ops/rasterize_pallas.py) used on TPU for the forward pass.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from animate3d_tpu.utils.sh import sh_color
+
+
+class RasterConfig(NamedTuple):
+    """Static rasterization parameters (hashable; passed as static arg)."""
+
+    height: int
+    width: int
+    tile: int = 16
+    max_per_tile: int = 256
+    tile_chunk: int = 32  # tiles composited per lax.map step (memory knob)
+    znear_cull: float = 0.2
+    dilate: float = 0.3
+    alpha_min: float = 1.0 / 255.0
+    alpha_max: float = 0.99
+    sh_degree: int = 0
+
+    @property
+    def tiles_x(self) -> int:
+        return (self.width + self.tile - 1) // self.tile
+
+    @property
+    def tiles_y(self) -> int:
+        return (self.height + self.tile - 1) // self.tile
+
+
+class GSCameraArrays(NamedTuple):
+    """Per-view camera tensors (row-vector layout as in the reference's
+    get_cam_info_gaussian, threestudio/utils/ops.py:344-359)."""
+
+    world_view: jnp.ndarray  # (4, 4)
+    full_proj: jnp.ndarray  # (4, 4)
+    camera_center: jnp.ndarray  # (3,)
+    tanfovx: jnp.ndarray  # ()
+    tanfovy: jnp.ndarray  # ()
+
+
+def camera_arrays(cam) -> GSCameraArrays:
+    """From a utils.camera.GSCamera (host) to device arrays."""
+    return GSCameraArrays(
+        world_view=jnp.asarray(cam.world_view, jnp.float32),
+        full_proj=jnp.asarray(cam.full_proj, jnp.float32),
+        camera_center=jnp.asarray(cam.camera_center, jnp.float32),
+        tanfovx=jnp.asarray(cam.tanfovx, jnp.float32),
+        tanfovy=jnp.asarray(cam.tanfovy, jnp.float32),
+    )
+
+
+def build_cov3d(scales: jnp.ndarray, rotations: jnp.ndarray,
+                modifier: float = 1.0) -> jnp.ndarray:
+    """(N,3,3) world covariance = R S Sᵀ Rᵀ from linear scales + wxyz quats."""
+    from animate3d_tpu.utils.rotation import quat_to_matrix
+
+    R = quat_to_matrix(rotations)
+    s = scales * modifier
+    RS = R * s[:, None, :]
+    return jnp.einsum("nij,nkj->nik", RS, RS, precision=jax.lax.Precision.HIGHEST)
+
+
+class Projected(NamedTuple):
+    mean2d: jnp.ndarray  # (N, 2) pixel coords
+    depth: jnp.ndarray  # (N,)
+    conic: jnp.ndarray  # (N, 3) inverse 2D covariance (a, b, c)
+    radius: jnp.ndarray  # (N,) float, 0 for culled
+    valid: jnp.ndarray  # (N,) bool
+
+
+def project_gaussians(
+    means3d: jnp.ndarray,
+    cov3d: jnp.ndarray,
+    camera: GSCameraArrays,
+    cfg: RasterConfig,
+) -> Projected:
+    n = means3d.shape[0]
+    ones = jnp.ones((n, 1), means3d.dtype)
+    hom = jnp.concatenate([means3d, ones], axis=1)
+
+    p_view = hom @ camera.world_view  # row-vector convention
+    p_hom = hom @ camera.full_proj
+    w = 1.0 / (p_hom[:, 3] + 1e-7)
+    p_ndc = p_hom[:, :3] * w[:, None]
+
+    depth = p_view[:, 2]
+    in_front = depth > cfg.znear_cull
+
+    # EWA: J @ W @ Σ @ Wᵀ @ Jᵀ  (upper-left 2x2)
+    fx = cfg.width / (2.0 * camera.tanfovx)
+    fy = cfg.height / (2.0 * camera.tanfovy)
+    tz = jnp.where(in_front, depth, 1.0)
+    lim_x = 1.3 * camera.tanfovx
+    lim_y = 1.3 * camera.tanfovy
+    txtz = jnp.clip(p_view[:, 0] / tz, -lim_x, lim_x)
+    tytz = jnp.clip(p_view[:, 1] / tz, -lim_y, lim_y)
+    tx = txtz * tz
+    ty = tytz * tz
+
+    # W: world→view rotation. world_view is transposed w2c, so rows of its
+    # upper 3x3 are the w2c columns; J is (2x3).
+    Wm = camera.world_view[:3, :3]  # maps row-vectors: x_view = x_world @ Wm
+    j00 = fx / tz
+    j02 = -fx * tx / (tz * tz)
+    j11 = fy / tz
+    j12 = -fy * ty / (tz * tz)
+    # T = Wᵀ?? — express as row-vector chain: cov_view = Aᵀ Σ A with A = Wm @ Jᵀ
+    # A: (N, 3, 2); A[:, k, 0] = Wm[k,0]*j00 + Wm[k,2]*j02 etc.
+    A = jnp.stack(
+        [
+            Wm[None, :, 0] * j00[:, None] + Wm[None, :, 2] * j02[:, None],
+            Wm[None, :, 1] * j11[:, None] + Wm[None, :, 2] * j12[:, None],
+        ],
+        axis=-1,
+    )  # (N, 3, 2)
+    cov2d = jnp.einsum("nki,nkl,nlj->nij", A, cov3d, A,
+                       precision=jax.lax.Precision.HIGHEST)
+    c00 = cov2d[:, 0, 0] + cfg.dilate
+    c01 = cov2d[:, 0, 1]
+    c11 = cov2d[:, 1, 1] + cfg.dilate
+
+    det = c00 * c11 - c01 * c01
+    det_ok = det > 0.0
+    det_safe = jnp.where(det_ok, det, 1.0)
+    conic = jnp.stack([c11 / det_safe, -c01 / det_safe, c00 / det_safe], axis=1)
+
+    mid = 0.5 * (c00 + c11)
+    lam = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(lam))
+
+    mean2d = jnp.stack(
+        [
+            ((p_ndc[:, 0] + 1.0) * cfg.width - 1.0) * 0.5,
+            ((p_ndc[:, 1] + 1.0) * cfg.height - 1.0) * 0.5,
+        ],
+        axis=1,
+    )
+
+    valid = in_front & det_ok & (radius > 0)
+    radius = jnp.where(valid, radius, 0.0)
+    return Projected(mean2d=mean2d, depth=depth, conic=conic, radius=radius, valid=valid)
+
+
+def _tile_select(proj: Projected, cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """For each tile, indices of ≤K front-to-back gaussians + validity mask.
+
+    Returns (idx (T, K) int32, ok (T, K) bool)."""
+    ty = cfg.tiles_y
+    tx = cfg.tiles_x
+    t = cfg.tile
+    tile_ids = jnp.arange(ty * tx, dtype=jnp.int32)
+    tile_x0 = (tile_ids % tx) * t
+    tile_y0 = (tile_ids // tx) * t
+
+    x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    r = proj.radius
+    gx0, gx1 = x - r, x + r
+    gy0, gy1 = y - r, y + r
+
+    big = jnp.float32(1e10)
+    depth = jnp.where(proj.valid, proj.depth, big)
+
+    kk = min(cfg.max_per_tile, proj.depth.shape[0])
+
+    def per_chunk(chunk):
+        cx0, cy0 = chunk  # (C,)
+        overlap = (
+            (gx1[None, :] >= cx0[:, None])
+            & (gx0[None, :] < (cx0[:, None] + t))
+            & (gy1[None, :] >= cy0[:, None])
+            & (gy0[None, :] < (cy0[:, None] + t))
+            & proj.valid[None, :]
+        )
+        score = jnp.where(overlap, depth[None, :], big)
+        neg, idx = jax.lax.top_k(-score, kk)
+        ok = (-neg) < big
+        if kk < cfg.max_per_tile:
+            padk = cfg.max_per_tile - kk
+            idx = jnp.pad(idx, ((0, 0), (0, padk)))
+            ok = jnp.pad(ok, ((0, 0), (0, padk)))
+        return idx.astype(jnp.int32), ok
+
+    c = cfg.tile_chunk
+    n_tiles = ty * tx
+    pad = (-n_tiles) % c
+    cx0 = jnp.pad(tile_x0, (0, pad)).reshape(-1, c)
+    cy0 = jnp.pad(tile_y0, (0, pad)).reshape(-1, c)
+    idx, ok = jax.lax.map(per_chunk, (cx0, cy0))
+    idx = idx.reshape(-1, cfg.max_per_tile)[:n_tiles]
+    ok = ok.reshape(-1, cfg.max_per_tile)[:n_tiles]
+    return idx, ok
+
+
+def _composite(
+    proj: Projected,
+    colors: jnp.ndarray,
+    opacity: jnp.ndarray,
+    bg: jnp.ndarray,
+    idx: jnp.ndarray,
+    ok: jnp.ndarray,
+    cfg: RasterConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Alpha-composite every tile; returns (rgb (H,W,3), depth (H,W), alpha (H,W))."""
+    t = cfg.tile
+    ty, tx = cfg.tiles_y, cfg.tiles_x
+    n_tiles = ty * tx
+
+    tile_ids = jnp.arange(n_tiles, dtype=jnp.int32)
+    tile_x0 = ((tile_ids % tx) * t).astype(jnp.float32)
+    tile_y0 = ((tile_ids // tx) * t).astype(jnp.float32)
+
+    px = jnp.arange(t, dtype=jnp.float32)
+    pyy, pxx = jnp.meshgrid(px, px, indexing="ij")  # (t, t): row=y, col=x
+
+    def per_chunk(args):
+        cidx, cok, cx0, cy0 = args  # (C,K), (C,K), (C,), (C,)
+        m2d = proj.mean2d[cidx]  # (C, K, 2)
+        conic = proj.conic[cidx]  # (C, K, 3)
+        dep = proj.depth[cidx]  # (C, K)
+        col = colors[cidx]  # (C, K, 3)
+        op = opacity[cidx]  # (C, K)
+
+        gx = cx0[:, None, None, None] + pxx[None, :, :, None]  # (C, t, t, 1)
+        gy = cy0[:, None, None, None] + pyy[None, :, :, None]
+        dx = m2d[:, None, None, :, 0] - gx  # (C, t, t, K)
+        dy = m2d[:, None, None, :, 1] - gy
+        a = conic[:, None, None, :, 0]
+        b = conic[:, None, None, :, 1]
+        cc = conic[:, None, None, :, 2]
+        power = -0.5 * (a * dx * dx + cc * dy * dy) - b * dx * dy
+        alpha = jnp.minimum(cfg.alpha_max, op[:, None, None, :] * jnp.exp(power))
+        alpha = jnp.where(power > 0.0, 0.0, alpha)
+        alpha = jnp.where(alpha < cfg.alpha_min, 0.0, alpha)
+        alpha = jnp.where(cok[:, None, None, :], alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        T_incl = jnp.cumprod(one_minus, axis=-1)
+        # exclusive transmittance product (shifted inclusive cumprod)
+        T_excl = jnp.concatenate(
+            [jnp.ones_like(T_incl[..., :1]), T_incl[..., :-1]], axis=-1
+        )
+        w = alpha * T_excl  # (C, t, t, K)
+
+        rgb = jnp.einsum("cijk,ckr->cijr", w, col)
+        acc_alpha = jnp.sum(w, axis=-1)
+        depth_im = jnp.einsum("cijk,ck->cij", w, dep)
+        T_final = T_incl[..., -1]
+        rgb = rgb + T_final[..., None] * bg[None, None, None, :]
+        return rgb, depth_im, acc_alpha
+
+    c = cfg.tile_chunk
+    pad = (-n_tiles) % c
+    cidx = jnp.pad(idx, ((0, pad), (0, 0))).reshape(-1, c, cfg.max_per_tile)
+    cok = jnp.pad(ok, ((0, pad), (0, 0))).reshape(-1, c, cfg.max_per_tile)
+    cx0 = jnp.pad(tile_x0, (0, pad)).reshape(-1, c)
+    cy0 = jnp.pad(tile_y0, (0, pad)).reshape(-1, c)
+
+    rgb, depth_im, acc = jax.lax.map(per_chunk, (cidx, cok, cx0, cy0))
+    # (n_chunks, C, t, t, ...) → (ty, tx, t, t, ...) → (H, W, ...)
+    def untile(a):
+        a = a.reshape((n_tiles + pad,) + a.shape[2:])[:n_tiles]
+        a = a.reshape((ty, tx, t, t) + a.shape[3:])
+        a = jnp.moveaxis(a, 2, 1).reshape((ty * t, tx * t) + a.shape[4:])
+        return a[: cfg.height, : cfg.width]
+
+    return untile(rgb), untile(depth_im), untile(acc)
+
+
+class RenderOutput(NamedTuple):
+    rgb: jnp.ndarray  # (H, W, 3)
+    depth: jnp.ndarray  # (H, W)
+    alpha: jnp.ndarray  # (H, W)
+    radii: jnp.ndarray  # (N,)
+    mean2d: jnp.ndarray  # (N, 2) pixel coords (screenspace grads source)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "active_sh_degree"))
+def rasterize(
+    means3d: jnp.ndarray,
+    scales: jnp.ndarray,
+    rotations: jnp.ndarray,
+    opacity: jnp.ndarray,
+    camera: GSCameraArrays,
+    cfg: RasterConfig,
+    shs: Optional[jnp.ndarray] = None,
+    colors_precomp: Optional[jnp.ndarray] = None,
+    bg: Optional[jnp.ndarray] = None,
+    scale_modifier: float = 1.0,
+    active_sh_degree: int = 0,
+) -> RenderOutput:
+    """Render one view. Differentiable in all gaussian inputs.
+
+    Mirrors the CUDA GaussianRasterizer call surface
+    (diff_gaussian_rasterizer_advanced_4d.py:161-170): provide either ``shs``
+    (N, K, 3) or ``colors_precomp`` (N, 3).
+    """
+    if bg is None:
+        bg = jnp.ones((3,), jnp.float32)
+    opacity = opacity.reshape(-1)
+    cov3d = build_cov3d(scales, rotations, scale_modifier)
+    proj = project_gaussians(means3d, cov3d, camera, cfg)
+
+    if colors_precomp is None:
+        assert shs is not None, "need shs or colors_precomp"
+        dirs = means3d - camera.camera_center[None, :]
+        dirs = dirs / (jnp.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-9)
+        colors = sh_color(active_sh_degree, shs, dirs)
+    else:
+        colors = colors_precomp
+
+    idx, ok = _tile_select(proj, cfg)
+    rgb, depth, alpha = _composite(proj, colors, opacity, bg, idx, ok, cfg)
+    return RenderOutput(rgb=rgb, depth=depth, alpha=alpha, radii=proj.radius,
+                        mean2d=proj.mean2d)
