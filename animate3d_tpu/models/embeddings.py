@@ -129,4 +129,4 @@ class ImageProjection(nn.Module):
         x = nn.Dense(self.num_tokens * self.cross_attention_dim, dtype=self.dtype,
                      name="image_embeds")(image_embeds)
         x = x.reshape(b, self.num_tokens, self.cross_attention_dim)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)

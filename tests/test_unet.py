@@ -1,0 +1,73 @@
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+
+
+@pytest.fixture(scope="module")
+def tiny_unet():
+    cfg = MVUNetConfig.tiny()
+    model = MVMotionUNet(cfg)
+    bn, f, h, w = 4, 2, 8, 8
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.normal(size=(bn, f, h, w, 4)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(bn, 7, cfg.cross_attention_dim)), jnp.float32)
+    camera = jnp.asarray(rng.normal(size=(bn, 16)), jnp.float32)
+    image_embeds = jnp.asarray(rng.normal(size=(bn, cfg.image_embed_dim)), jnp.float32)
+    t = jnp.asarray(500.0)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), latents, t, text, camera,
+                                 image_embeds)
+
+    @functools.partial(jax.jit, static_argnames=("i2v_cond_time_zero",))
+    def apply(params, latents, t, text, camera, image_embeds,
+              i2v_cond_time_zero=False):
+        return model.apply(params, latents, t, text, camera, image_embeds,
+                           i2v_cond_time_zero=i2v_cond_time_zero)
+
+    return model, params, apply, (latents, t, text, camera, image_embeds)
+
+
+def test_unet_forward_shape(tiny_unet):
+    model, params, apply, (latents, t, text, camera, image_embeds) = tiny_unet
+    out = apply(params, latents, t, text, camera, image_embeds)
+    assert out.shape == latents.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_unet_camera_conditioning_matters(tiny_unet):
+    model, params, apply, (latents, t, text, camera, image_embeds) = tiny_unet
+    out1 = apply(params, latents, t, text, camera, image_embeds)
+    out2 = apply(params, latents, t, text, camera + 1.0, image_embeds)
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-5
+
+
+def test_unet_i2v_cond_time_zero_changes_frame0_path(tiny_unet):
+    model, params, apply, (latents, t, text, camera, image_embeds) = tiny_unet
+    out1 = apply(params, latents, t, text, camera, image_embeds,
+                 i2v_cond_time_zero=False)
+    out2 = apply(params, latents, t, text, camera, image_embeds,
+                 i2v_cond_time_zero=True)
+    # t=500 vs t=0 embedding on frame 0 must change the output
+    assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-5
+
+
+def test_param_count_sd15_scale():
+    # full-size config builds and has SD1.5-scale parameter count (~1.3B total
+    # incl. motion modules & adapters; base SD1.5 UNet alone is 860M)
+    cfg = MVUNetConfig()
+    model = MVMotionUNet(cfg)
+    bn, f, h, w = 4, 2, 8, 8
+    latents = jnp.zeros((bn, f, h, w, 4), jnp.float32)
+    text = jnp.zeros((bn, 7, 768), jnp.float32)
+    camera = jnp.zeros((bn, 16), jnp.float32)
+    img = jnp.zeros((bn, 1024), jnp.float32)
+    params = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), latents, jnp.asarray(0.0),
+                           text, camera, img)
+    )
+    n_params = sum(np.prod(x.shape) for x in jax.tree_util.tree_leaves(params))
+    assert 1.0e9 < n_params < 2.0e9, n_params
