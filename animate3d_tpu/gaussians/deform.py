@@ -1,0 +1,119 @@
+"""4D deformation field: K-planes features → Δxyz / Δrotation / Δscale MLPs.
+
+Parity target: Gaussian4DModel (gaussian_4d.py:67-548) —
+  * two multiscale 4D grids (default (50,50,50,8) and (100,100,100,16)),
+    16 feature dims each, concat → 32-d hidden features;
+  * three bias-free 1-hidden-layer ReLU MLPs (width 32), output layer
+    zero-init (gaussian_4d.py:119-147; threestudio VanillaMLP semantics,
+    networks.py:214-252);
+  * optional global rigid rotation/translation from the mean feature
+    (sigmoid → [-π, π] euler / [-1, 1] translation, gaussian_4d.py:496-548);
+  * deformed attribute semantics (get_xyz/get_rotation/get_scaling):
+    xyz + Δxyz, quat + Δquat (then normalize), log-scale + Δscale (then exp);
+    scale deformation only used under guidance
+    (diff_gaussian_rasterizer_advanced_4d.py:130-135).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import NamedTuple, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from animate3d_tpu.gaussians.kplanes import interpolate_ms_features
+from animate3d_tpu.gaussians.state import GaussianState
+from animate3d_tpu.utils.rotation import euler_to_matrix, matrix_to_quat, quat_to_matrix
+
+
+@dataclass(frozen=True)
+class DeformConfig:
+    grid_sizes: Tuple[Tuple[int, int, int, int], ...] = (
+        (50, 50, 50, 8), (100, 100, 100, 16))
+    grid_feature_dim: int = 16
+    mlp_width: int = 32
+    use_global_trans: bool = False
+
+
+class ZeroOutMLP(nn.Module):
+    """Bias-free ReLU MLP, one hidden layer, zero-init output (VanillaMLP)."""
+
+    width: int
+    dim_out: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Dense(self.width, use_bias=False, name="hidden")(x)
+        x = nn.relu(x)
+        return nn.Dense(self.dim_out, use_bias=False,
+                        kernel_init=nn.initializers.zeros, name="out")(x)
+
+
+class DeformationField(nn.Module):
+    config: DeformConfig = field(default_factory=DeformConfig)
+
+    def setup(self):
+        from animate3d_tpu.gaussians.kplanes import COO_COMBS
+
+        cfg = self.config
+
+        def plane_init(combo, reso):
+            shape = (cfg.grid_feature_dim, reso[combo[1]], reso[combo[0]])
+            if 3 in combo:  # time planes init to 1 (gaussian_4d.py:168-171)
+                return lambda key: jnp.ones(shape, jnp.float32)
+            return lambda key: jax.random.uniform(key, shape, jnp.float32, 0.1, 0.5)
+
+        self.grids = [
+            [self.param(f"grid_{s}_{p}", plane_init(combo, reso))
+             for p, combo in enumerate(COO_COMBS)]
+            for s, reso in enumerate(cfg.grid_sizes)
+        ]
+        self.delta_xyz_network = ZeroOutMLP(cfg.mlp_width, 3)
+        self.delta_rot_network = ZeroOutMLP(cfg.mlp_width, 4)
+        self.delta_scaling_network = ZeroOutMLP(cfg.mlp_width, 3)
+        if cfg.use_global_trans:
+            self.global_rot_network = ZeroOutMLP(cfg.mlp_width, 3)
+            self.global_trans_network = ZeroOutMLP(cfg.mlp_width, 3)
+
+    def features(self, xyz: jnp.ndarray, timestamp: jnp.ndarray) -> jnp.ndarray:
+        """(N, 3) positions + scalar t in [-1, 1] → (N, F) hidden features
+        (diff_gaussian_rasterizer_advanced_4d.py:82-83)."""
+        t = jnp.broadcast_to(jnp.asarray(timestamp, xyz.dtype), (xyz.shape[0], 1))
+        pts = jnp.concatenate([xyz, t], axis=-1)
+        return interpolate_ms_features(pts, self.grids)
+
+    def deform(
+        self,
+        state: GaussianState,
+        timestamp: jnp.ndarray,
+        deform_scales: bool = False,
+    ):
+        """Returns (means3d, rotations_normalized, scales_linear, feats)."""
+        feats = self.features(state.xyz, timestamp)
+        xyz = state.xyz
+        rot = state.rotation
+
+        if self.config.use_global_trans:
+            g = jnp.mean(feats, axis=0, keepdims=True)
+            angles = jax.nn.sigmoid(self.global_rot_network(g))[0] * 2 * math.pi - math.pi
+            trans = jax.nn.sigmoid(self.global_trans_network(g))[0] * 2.0 - 1.0
+            R = euler_to_matrix(angles)
+            xyz = xyz @ R.T + trans
+            rot = matrix_to_quat(R[None] @ quat_to_matrix(rot))
+
+        xyz = xyz + self.delta_xyz_network(feats)
+        rot = rot + self.delta_rot_network(feats)
+        rot = rot / (jnp.linalg.norm(rot, axis=-1, keepdims=True) + 1e-12)
+
+        scaling = state.scaling
+        if deform_scales:
+            scaling = scaling + self.delta_scaling_network(feats)
+        scales = jnp.exp(scaling)
+        return xyz, rot, scales, feats
+
+    def __call__(self, state: GaussianState, timestamp: jnp.ndarray):
+        # deform_scales=True so init creates every submodule's params
+        return self.deform(state, timestamp, deform_scales=True)

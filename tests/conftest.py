@@ -1,23 +1,26 @@
-"""Test env: run everything on an 8-virtual-device CPU mesh so sharding tests
-exercise real collectives without TPU hardware (the TPU analogue of the
-reference's absent multi-node tests; SURVEY.md §4)."""
+"""Test env: force an 8-virtual-device CPU mesh.
+
+This box force-registers a remote TPU backend for every Python process (axon
+sitecustomize), so `JAX_PLATFORMS=cpu` in the environment is not enough —
+select the platform via jax.config before any backend initialization.
+Sharding tests then exercise real collectives without TPU hardware
+(the TPU analogue of the reference's absent multi-node tests; SURVEY.md §4).
+"""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 # persistent compile cache: the test box is a single CPU core, so re-compiles
 # dominate wall-clock without it
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_animate3d")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_animate3d_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert len(jax.devices()) == 8, jax.devices()
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,192 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from animate3d_tpu.gaussians.kplanes import (
+    COO_COMBS,
+    grid_sample_2d,
+    init_grid_params,
+    interpolate_ms_features,
+)
+from animate3d_tpu.gaussians.deform import DeformationField, DeformConfig
+from animate3d_tpu.gaussians import arap
+from animate3d_tpu.gaussians.state import GaussianState
+
+
+def test_grid_sample_bilinear_matches_manual():
+    plane = jnp.asarray(np.arange(12, dtype=np.float32).reshape(1, 3, 4))
+    # corners with align_corners=True
+    out = grid_sample_2d(plane, jnp.asarray([[-1.0, -1.0], [1.0, 1.0], [0.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(out[:, 0]), [0.0, 11.0, 5.5], atol=1e-6)
+    # border padding: out-of-range clamps
+    out2 = grid_sample_2d(plane, jnp.asarray([[-2.0, -2.0], [5.0, 5.0]]))
+    np.testing.assert_allclose(np.asarray(out2[:, 0]), [0.0, 11.0], atol=1e-6)
+
+
+def test_init_grid_param_time_planes_ones():
+    grids = init_grid_params(jax.random.PRNGKey(0), [(5, 5, 5, 3)], out_dim=4)
+    for ci, combo in enumerate(COO_COMBS):
+        plane = np.asarray(grids[0][ci])
+        if 3 in combo:
+            np.testing.assert_allclose(plane, 1.0)
+        else:
+            assert plane.min() >= 0.1 and plane.max() <= 0.5
+
+
+def test_interpolate_product_and_concat():
+    grids = init_grid_params(jax.random.PRNGKey(0), [(4, 4, 4, 2), (8, 8, 8, 4)],
+                             out_dim=3)
+    pts = jnp.asarray(np.random.default_rng(0).uniform(-1, 1, size=(10, 4)),
+                      jnp.float32)
+    feats = interpolate_ms_features(pts, grids)
+    assert feats.shape == (10, 6)
+    # manual check for first scale
+    manual = np.ones((10, 3), np.float32)
+    for ci, combo in enumerate(COO_COMBS):
+        manual *= np.asarray(grid_sample_2d(grids[0][ci], pts[:, list(combo)]))
+    np.testing.assert_allclose(np.asarray(feats[:, :3]), manual, rtol=1e-5)
+
+
+def make_state(n=20, seed=0):
+    rng = np.random.default_rng(seed)
+    q = rng.normal(size=(n, 4)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    return GaussianState(
+        xyz=jnp.asarray(rng.uniform(-0.5, 0.5, (n, 3)), jnp.float32),
+        features_dc=jnp.asarray(rng.normal(size=(n, 1, 3)), jnp.float32),
+        features_rest=jnp.zeros((n, 0, 3)),
+        opacity=jnp.asarray(rng.normal(size=(n, 1)), jnp.float32),
+        scaling=jnp.asarray(rng.normal(size=(n, 3)) - 3, jnp.float32),
+        rotation=jnp.asarray(q),
+        sh_degree=0,
+    )
+
+
+class TestDeformationField:
+    def setup_method(self):
+        self.cfg = DeformConfig(grid_sizes=((8, 8, 8, 3), (12, 12, 12, 5)),
+                                grid_feature_dim=4)
+        self.field = DeformationField(self.cfg)
+        self.state = make_state()
+        self.params = self.field.init(
+            jax.random.PRNGKey(0), self.state, jnp.asarray(0.5))
+
+    def test_zero_init_deformation_is_identity(self):
+        xyz, rot, scales, feats = self.field.apply(
+            self.params, self.state, jnp.asarray(0.3))
+        np.testing.assert_allclose(np.asarray(xyz), np.asarray(self.state.xyz),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(rot),
+                                   np.asarray(self.state.get_rotation()), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(scales),
+                                   np.asarray(self.state.get_scaling()), rtol=1e-5)
+        assert feats.shape == (20, 8)
+
+    def test_nonzero_mlp_moves_points_time_dependently(self):
+        # fill the zero-init output kernels so deformation becomes active, and
+        # perturb the (constant-1) time planes so features vary with t
+        key = jax.random.PRNGKey(7)
+
+        def perturb(p):
+            nonlocal key
+            key, sub = jax.random.split(key)
+            if p.ndim == 2 and p.shape[-1] in (3, 4):
+                return p + 0.05
+            if p.ndim == 3:  # grid planes
+                return p + 0.1 * jax.random.normal(sub, p.shape)
+            return p
+
+        params = jax.tree_util.tree_map(perturb, self.params)
+        xyz1, *_ = self.field.apply(params, self.state, jnp.asarray(-1.0))
+        xyz2, *_ = self.field.apply(params, self.state, jnp.asarray(1.0))
+        assert np.abs(np.asarray(xyz1) - np.asarray(xyz2)).max() > 1e-5
+
+    def test_gradients_flow_to_grids(self):
+        def loss(params):
+            xyz, rot, scales, _ = self.field.apply(
+                params, self.state, jnp.asarray(0.2), True,
+                method=DeformationField.deform)
+            return jnp.sum(xyz ** 2) + jnp.sum(rot ** 2) + jnp.sum(scales ** 2)
+
+        g = jax.grad(loss)(self.params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+
+
+class TestARAP:
+    def make_trajectory(self, rigid=True, n=40, frames=4, seed=0):
+        rng = np.random.default_rng(seed)
+        pts = rng.uniform(-0.5, 0.5, size=(n, 3)).astype(np.float32)
+        seq = [pts]
+        for f in range(1, frames):
+            angle = 0.2 * f
+            R = np.array([[np.cos(angle), -np.sin(angle), 0],
+                          [np.sin(angle), np.cos(angle), 0],
+                          [0, 0, 1]], np.float32)
+            moved = pts @ R.T + np.array([0.1 * f, 0, 0], np.float32)
+            if not rigid:
+                moved = moved + rng.normal(0, 0.05, size=moved.shape).astype(np.float32)
+            seq.append(moved)
+        return jnp.asarray(np.stack(seq))
+
+    def test_rigid_motion_has_near_zero_energy(self):
+        traj = self.make_trajectory(rigid=True)
+        conn = arap.connectivity_from_points(traj, radius=0.4, K=6)
+        err = float(arap.arap_error(traj, conn, jax.random.PRNGKey(0)))
+        assert err < 1e-6
+
+    def test_nonrigid_motion_penalized(self):
+        rigid = self.make_trajectory(rigid=True)
+        nonrigid = self.make_trajectory(rigid=False)
+        conn = arap.connectivity_from_points(rigid, radius=0.4, K=6)
+        e_rigid = float(arap.arap_error(rigid, conn, jax.random.PRNGKey(0)))
+        e_non = float(arap.arap_error(nonrigid, conn, jax.random.PRNGKey(0)))
+        assert e_non > e_rigid * 100 + 1e-4
+
+    def test_estimate_rotations_recovers_rotation(self):
+        rng = np.random.default_rng(1)
+        pts = rng.uniform(-1, 1, size=(30, 3)).astype(np.float32)
+        angle = 0.7
+        R_true = np.array([[np.cos(angle), -np.sin(angle), 0],
+                           [np.sin(angle), np.cos(angle), 0],
+                           [0, 0, 1]], np.float32)
+        traj = jnp.asarray(np.stack([pts, pts @ R_true.T]))
+        conn = arap.connectivity_from_points(traj[:1], radius=2.0, K=8)
+        src = np.asarray(traj[0])
+        nbr = np.clip(np.asarray(conn.nn_idx), 0, None)
+        e0 = (src[:, None, :] - src[nbr]) * (np.asarray(conn.nn_idx) >= 0)[..., None]
+        e1 = (np.asarray(traj[1])[:, None, :] - np.asarray(traj[1])[nbr]) \
+            * (np.asarray(conn.nn_idx) >= 0)[..., None]
+        R = np.asarray(arap.estimate_rotations(jnp.asarray(e0), jnp.asarray(e1),
+                                               conn.weight))
+        np.testing.assert_allclose(R, np.tile(R_true.T[None].transpose(0, 2, 1),
+                                              (30, 1, 1)), atol=1e-3)
+
+    def test_rotation_gradient_blocked(self):
+        traj = self.make_trajectory(rigid=False)
+        conn = arap.connectivity_from_points(traj, radius=0.4, K=6)
+
+        def loss(t):
+            return arap.arap_error(t, conn, jax.random.PRNGKey(0))
+
+        g = np.asarray(jax.grad(loss)(traj))
+        assert np.all(np.isfinite(g))
+        assert np.abs(g).max() > 0
+
+    def test_mesh_connectivity_ingestion(self):
+        conn_json = {"0": {"1": 1.0, "2": 1.4}, "1": {"0": 1.0}, "2": {"0": 1.4}}
+        nn_idx, valid = arap.connectivity_from_mesh_edges(conn_json)
+        assert nn_idx.shape == (3, 2)
+        assert set(nn_idx[0].tolist()) == {1, 2}
+        assert nn_idx[1, 0] == 0 and nn_idx[1, 1] == -1
+        assert valid.sum() == 4
+
+    def test_sample_neighbor_subset(self):
+        nn_idx = jnp.asarray([[1, 2, 3, -1], [0, -1, -1, -1]])
+        valid = nn_idx >= 0
+        picked = np.asarray(arap.sample_neighbor_subset(
+            jax.random.PRNGKey(0), nn_idx, valid, P=2))
+        assert picked.shape == (2, 2)
+        assert set(picked[0].tolist()).issubset({1, 2, 3})
+        assert picked[1, 0] == 0 and picked[1, 1] == -1
