@@ -18,7 +18,7 @@ LR / loss-weight / timestep-range annealing throughout the 4D stage.
 from __future__ import annotations
 
 import math
-from typing import Any, Sequence, Union
+from typing import Any, Callable, Sequence, Union
 
 Scalar = Union[int, float]
 
@@ -52,3 +52,27 @@ def C(value: Any, epoch: int, global_step: int, interpolation: str = "linear") -
     if interpolation == "exp":
         return math.exp(math.log(start_value) * (1 - t) + math.log(end_value) * t)
     raise ValueError(f"Unknown interpolation {interpolation!r} (linear|exp)")
+
+
+def c_schedule(value: Any, interpolation: str = "linear") -> Callable:
+    """jit-traceable optax-style schedule: step → scalar, same semantics as
+    :func:`C` for plain numbers and [start, end, end_step] /
+    [start_step, start, end, end_step] specs (step clock only)."""
+    import jax.numpy as jnp
+
+    if isinstance(value, (int, float)):
+        return lambda step: jnp.float32(value)
+    spec = list(value)
+    if len(spec) == 3:
+        spec = [0] + spec
+    if len(spec) != 4:
+        raise ValueError(f"c_schedule supports single-segment specs, got {spec}")
+    start_step, start_value, end_value, end_step = [float(v) for v in spec]
+
+    def fn(step):
+        t = jnp.clip((step - start_step) / (end_step - start_step), 0.0, 1.0)
+        if interpolation == "linear":
+            return start_value + (end_value - start_value) * t
+        return jnp.exp(math.log(start_value) * (1 - t) + math.log(end_value) * t)
+
+    return fn

@@ -134,8 +134,11 @@ def arap_error(
     conn: Connectivity,
     key: Optional[jax.Array] = None,
     sample_num: int = 512,
+    frame_weights: Optional[jnp.ndarray] = None,  # (Nt-1,) mask/weights
 ) -> jnp.ndarray:
-    """Σ_t Σ w‖e_t − R_t e_0‖² with ≤sample_num nodes (util.py:185-215)."""
+    """Σ_t Σ w‖e_t − R_t e_0‖² with ≤sample_num nodes (util.py:185-215).
+    ``frame_weights`` lets the progressive frame schedule run at a fixed
+    shape (inactive frames weighted 0 instead of sliced away)."""
     nt, nv, _ = nodes_sequence.shape
     if nv > sample_num:
         assert key is not None
@@ -153,15 +156,19 @@ def arap_error(
         return jnp.where(valid, e, 0.0)
 
     src = source_edges(nodes_sequence[0])
+    if frame_weights is None:
+        frame_weights = jnp.ones((nt - 1,), jnp.float32)
 
-    def per_frame(carry, frame):
+    def per_frame(carry, frame_and_w):
+        frame, fw = frame_and_w
         tgt = source_edges(frame)
         R = jax.lax.stop_gradient(
             estimate_rotations(jax.lax.stop_gradient(src),
                                jax.lax.stop_gradient(tgt), weight))
         rot_rigid = jnp.einsum("nij,nkj->nki", R, src)
         stretch = jnp.sum((tgt - rot_rigid) ** 2, axis=-1)
-        return carry + jnp.sum(weight * stretch), None
+        return carry + fw * jnp.sum(weight * stretch), None
 
-    total, _ = jax.lax.scan(per_frame, jnp.float32(0.0), nodes_sequence[1:])
+    total, _ = jax.lax.scan(per_frame, jnp.float32(0.0),
+                            (nodes_sequence[1:], frame_weights))
     return total

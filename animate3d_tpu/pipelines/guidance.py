@@ -1,0 +1,164 @@
+"""4D-SDS guidance: x0-reconstruction loss from the frozen MV-VDM.
+
+Parity target: custom/threestudio-animate3d/guidance/animatemv_guidance.py —
+  * renders → bilinear 256² → VAE posterior *sample* × 0.18215 (:531-542,
+    :364-373);
+  * IP-Adapter image embeds of each view's first frame (:546-555);
+  * one random t per video ∈ [min_step, max_step], annealed via C()
+    schedules (:558-565, :767-793);
+  * noise frames 1..F−1 keeping frame 0 clean, ONE CFG UNet call with
+    [cond, uncond] ordering and ``eps_text + s·(eps_text − eps_uncond)``
+    (MVDream convention, :418-459);
+  * x0-reconstruction via the scheduler's pred_original_sample, MVDream
+    recon_std_rescale over frames 1..F−1, frame-0 replacement (:461-494);
+  * loss = ½‖latents − recon.detach()‖²_sum / B·N·F · F/(F−1) (:496-501).
+
+The whole computation is one jit (render gradients flow through the VAE
+encode only; the UNet branch is stop-gradiented as in the reference's
+torch.no_grad block).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from animate3d_tpu.core.schedule import C
+from animate3d_tpu.models.diffusion import DDIMScheduler, SchedulerConfig
+from animate3d_tpu.utils.camera import normalize_c2w
+
+
+@dataclass(frozen=True)
+class GuidanceConfig:
+    guidance_scale: float = 5.0
+    n_view: int = 4
+    n_frame: int = 16
+    recon_std_rescale: float = 0.25
+    i2v_cond_time_zero: bool = False
+    latent_scaling: float = 0.18215
+    num_train_timesteps: int = 1000
+    # schedulable (C() lists allowed)
+    min_step_percent: object = 0.02
+    max_step_percent: object = 0.2
+
+
+class AnimateMVGuidance:
+    """Functional guidance around a frozen (unet_apply, vae_encode)."""
+
+    def __init__(
+        self,
+        unet_apply: Callable,  # (params, latents(B,F,h,w,C), t(B,), ctx, camera, img) -> eps
+        vae_encode: Callable,  # (params, images(B,H,W,3) in [-1,1]) -> (mean, logvar)
+        cfg: GuidanceConfig = GuidanceConfig(),
+        scheduler: Optional[DDIMScheduler] = None,
+    ):
+        self.unet_apply = unet_apply
+        self.vae_encode = vae_encode
+        self.cfg = cfg
+        self.scheduler = scheduler or DDIMScheduler.create(SchedulerConfig())
+        self._loss = jax.jit(self._loss_impl)
+
+    def min_max_step(self, global_step: int) -> Tuple[int, int]:
+        """Timestep-range annealing (update_step, animatemv_guidance.py:767-793)."""
+        cfg = self.cfg
+        mn = int(cfg.num_train_timesteps * C(cfg.min_step_percent, 0, global_step))
+        mx = int(cfg.num_train_timesteps * C(cfg.max_step_percent, 0, global_step))
+        return mn, mx
+
+    def _loss_impl(
+        self,
+        unet_params,
+        vae_params,
+        rgb: jnp.ndarray,  # (B·N·F, H, W, 3) in [0, 1], gradients flow
+        text_cond: jnp.ndarray,  # (B·N, 77, D)
+        text_uncond: jnp.ndarray,  # (B·N, 77, D)
+        camera_16d: jnp.ndarray,  # (B·N, 16) normalized flattened c2w (frame 0)
+        image_embeds: jnp.ndarray,  # (B·N, D_img)
+        t_video: jnp.ndarray,  # (B,) int32
+        key: jax.Array,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        n, f = cfg.n_view, cfg.n_frame
+        bnf = rgb.shape[0]
+        bn = bnf // f
+        b = bn // n
+
+        # resize to 256² and VAE-encode (posterior sample)
+        if rgb.shape[1] != 256 or rgb.shape[2] != 256:
+            rgb = jax.image.resize(rgb, (bnf, 256, 256, 3), method="bilinear")
+        k_post, k_noise = jax.random.split(key)
+        mean, logvar = self.vae_encode(vae_params, rgb * 2.0 - 1.0)
+        std = jnp.exp(0.5 * logvar)
+        latents = (mean + std * jax.random.normal(k_post, mean.shape)) * cfg.latent_scaling
+        lh, lw, lc = latents.shape[1:]
+        latents = latents.reshape(bn, f, lh, lw, lc)
+
+        first = latents[:, :1]
+        rest = latents[:, 1:]
+        t = jnp.repeat(t_video, n)  # (B·N,)
+
+        def unet_branch(rest):
+            noise = jax.random.normal(k_noise, rest.shape)
+            noisy_rest = self.scheduler.add_noise(rest, noise, t)
+            noisy = jnp.concatenate([jax.lax.stop_gradient(first), noisy_rest], axis=1)
+            latent_in = jnp.concatenate([noisy, noisy], axis=0)
+            ctx = jnp.concatenate([text_cond, text_uncond], axis=0)
+            cam2 = jnp.concatenate([camera_16d, camera_16d], axis=0)
+            img2 = jnp.concatenate([image_embeds, jnp.zeros_like(image_embeds)], axis=0)
+            t2 = jnp.concatenate([t, t], axis=0)
+            eps = self.unet_apply(unet_params, latent_in, t2, ctx, cam2, img2,
+                                  i2v_cond_time_zero=cfg.i2v_cond_time_zero)
+            eps_text, eps_uncond = jnp.split(eps, 2, axis=0)
+            # MVDream convention: text + s·(text − uncond) (:457-459)
+            eps_cfg = eps_text + cfg.guidance_scale * (eps_text - eps_uncond)
+            return noisy, eps_cfg, eps_text
+
+        noisy, eps_cfg, eps_text = jax.lax.stop_gradient(unet_branch(
+            jax.lax.stop_gradient(rest)))
+
+        t_b = t[:, None, None, None, None]
+        recon = self.scheduler.pred_original(noisy.reshape(bn * f, lh, lw, lc),
+                                             eps_cfg.reshape(bn * f, lh, lw, lc),
+                                             jnp.repeat(t, f)).reshape(bn, f, lh, lw, lc)
+        if cfg.recon_std_rescale > 0:
+            recon_nocfg = self.scheduler.pred_original(
+                noisy.reshape(bn * f, lh, lw, lc),
+                eps_text.reshape(bn * f, lh, lw, lc),
+                jnp.repeat(t, f)).reshape(bn, f, lh, lw, lc)
+            # std over (views, frames 1.., h, w, c) per video
+            r = recon.reshape(b, n, f, lh, lw, lc)[:, :, 1:]
+            rn = recon_nocfg.reshape(b, n, f, lh, lw, lc)[:, :, 1:]
+            factor = ((jnp.std(rn, axis=(1, 2, 3, 4, 5), keepdims=True) + 1e-8)
+                      / (jnp.std(r, axis=(1, 2, 3, 4, 5), keepdims=True) + 1e-8))
+            factor = factor.reshape(b, 1, 1, 1, 1)
+            adjust = recon.reshape(b, n, f, lh, lw, lc) * factor[:, None]
+            adjust = adjust.reshape(bn, f, lh, lw, lc)
+            recon = cfg.recon_std_rescale * adjust + (1 - cfg.recon_std_rescale) * recon
+
+        # clean frame 0 target (no loss on frame 0)
+        recon = jnp.concatenate([latents[:, :1], recon[:, 1:]], axis=1)
+        recon = jax.lax.stop_gradient(recon)
+
+        loss = 0.5 * jnp.sum((latents - recon) ** 2) / (bn * f) * f / (f - 1)
+        return loss
+
+    def __call__(self, unet_params, vae_params, rgb, text_cond, text_uncond,
+                 c2w, image_embeds, key, global_step: int = 0):
+        """rgb (B·N·F, H, W, 3); c2w (B·N·F, 4, 4) — frame-0 cameras per view
+        are extracted and normalized to the 16-d conditioning."""
+        cfg = self.cfg
+        bnf = rgb.shape[0]
+        bn = bnf // cfg.n_frame
+        c2w_v = c2w.reshape(bn, cfg.n_frame, 4, 4)[:, 0]
+        cam16 = jnp.asarray(
+            normalize_c2w(jnp.asarray(c2w_v)).reshape(bn, 16), jnp.float32)
+
+        mn, mx = self.min_max_step(global_step)
+        key, k_t = jax.random.split(key)
+        b = bn // cfg.n_view
+        t_video = jax.random.randint(k_t, (b,), mn, mx + 1)
+        return self._loss(unet_params, vae_params, rgb, text_cond, text_uncond,
+                          cam16, image_embeds, t_video, key)

@@ -1,0 +1,118 @@
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from animate3d_tpu.data.cameras import fixed_view_cameras, gs_cameras_from_batch
+from animate3d_tpu.gaussians.state import GaussianState
+from animate3d_tpu.rendering.renderer4d import Renderer4DConfig, render_batch
+from animate3d_tpu.gaussians.deform import DeformConfig
+from animate3d_tpu.systems.animate3d import (
+    Animate3DConfig,
+    Animate3DSystem,
+    LossConfig,
+    make_deform_optimizer,
+)
+
+
+def tiny_scene(n=30, seed=0):
+    rng = np.random.default_rng(seed)
+    q = np.zeros((n, 4), np.float32)
+    q[:, 0] = 1.0
+    return GaussianState(
+        xyz=jnp.asarray(rng.uniform(-0.4, 0.4, (n, 3)), jnp.float32),
+        features_dc=jnp.asarray(rng.uniform(-1, 1, (n, 1, 3)), jnp.float32),
+        features_rest=jnp.zeros((n, 0, 3)),
+        opacity=jnp.full((n, 1), 3.0),
+        scaling=jnp.full((n, 3), math.log(0.08)),
+        rotation=jnp.asarray(q),
+        sh_degree=0,
+    )
+
+
+N_VIEW, N_FRAME, RES = 2, 3, 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    state = tiny_scene()
+    cams = fixed_view_cameras(azimuths_deg=(0.0, 120.0), height=RES, width=RES,
+                              total_frame=N_FRAME)
+    gs_cams = gs_cameras_from_batch(cams)
+
+    # GT: the object translates along +z over time
+    def gt_deform(xyz, t):
+        return xyz + jnp.asarray([0.0, 0.0, 0.15]) * (t + 1.0)
+
+    rcfg = Renderer4DConfig(height=RES, width=RES, max_per_tile=32, tile_chunk=4,
+                            back_ground_color=(0.5, 0.5, 0.5))
+
+    def deform_fn(state_, t, deform_scales):
+        return (gt_deform(state_.xyz, t), state_.get_rotation(),
+                state_.get_scaling(), None)
+
+    gt = render_batch(state, deform_fn, gs_cams, jnp.asarray(cams["timestamps"]),
+                      rcfg, key=None, do_reconstruction=False)
+    return state, cams, gs_cams, rcfg, gt
+
+
+def make_system(state, rcfg, **kw):
+    cfg = Animate3DConfig(
+        n_view=N_VIEW, n_frame=N_FRAME, progressive_iter_per_frame=5,
+        deform=DeformConfig(grid_sizes=((12, 12, 12, 4),), grid_feature_dim=8),
+        renderer=rcfg,
+        loss=LossConfig(lambda_rgb=100.0, lambda_mask=10.0, lambda_arap=1.0,
+                        arap_K=3, arap_sample_num=64),
+        **kw,
+    )
+    return Animate3DSystem(cfg, state=state, key=jax.random.PRNGKey(1))
+
+
+def test_frame_weights_progressive(setup):
+    state, cams, gs_cams, rcfg, gt = setup
+    sys = make_system(state, rcfg)
+    w0 = sys.frame_weights(0)
+    np.testing.assert_array_equal(w0, [0, 1, 0])
+    w1 = sys.frame_weights(5)
+    np.testing.assert_array_equal(w1, [0, 1, 1])
+    assert sys.frame_weights(10_000).sum() == N_FRAME - 1
+
+
+def test_optimizer_labels(setup):
+    state, cams, gs_cams, rcfg, gt = setup
+    sys = make_system(state, rcfg)
+    # one update with synthetic grads must not error and must change params
+    grads = jax.tree_util.tree_map(jnp.ones_like, sys.params)
+    updates, _ = sys.tx.update(grads, sys.opt_state, sys.params)
+    leaves = jax.tree_util.tree_leaves(updates)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+
+
+def test_recon_loss_decreases(setup):
+    state, cams, gs_cams, rcfg, gt = setup
+    sys = make_system(state, rcfg)
+    batch = {
+        "gs_cameras": gs_cams,
+        "timestamps": cams["timestamps"],
+        "rgb": np.asarray(gt.rgb),
+        "mask": np.asarray(gt.alpha)[..., None] > 0.5,
+    }
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(60):
+        key, sub = jax.random.split(key)
+        m = sys.step(batch, sub)
+        losses.append(m["loss_rgb"])
+    assert np.isfinite(losses).all()
+    # all frames unlock at step 5; loss must drop substantially from there
+    assert np.mean(losses[-5:]) < np.mean(losses[5:10]) * 0.7, losses
+
+
+def test_render_api(setup):
+    state, cams, gs_cams, rcfg, gt = setup
+    sys = make_system(state, rcfg)
+    out = sys.render(gs_cams, cams["timestamps"])
+    assert out.rgb.shape == (N_VIEW * N_FRAME, RES, RES, 3)
+    assert out.means3d.shape[0] == N_VIEW * N_FRAME
