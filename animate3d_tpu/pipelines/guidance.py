@@ -40,6 +40,7 @@ class GuidanceConfig:
     i2v_cond_time_zero: bool = False
     latent_scaling: float = 0.18215
     num_train_timesteps: int = 1000
+    image_size: int = 256  # SDS encode resolution (animatemv_guidance.py:533)
     # schedulable (C() lists allowed)
     min_step_percent: object = 0.02
     max_step_percent: object = 0.2
@@ -86,9 +87,10 @@ class AnimateMVGuidance:
         bn = bnf // f
         b = bn // n
 
-        # resize to 256² and VAE-encode (posterior sample)
-        if rgb.shape[1] != 256 or rgb.shape[2] != 256:
-            rgb = jax.image.resize(rgb, (bnf, 256, 256, 3), method="bilinear")
+        # resize to the SDS encode resolution and VAE-encode (posterior sample)
+        s = self.cfg.image_size
+        if rgb.shape[1] != s or rgb.shape[2] != s:
+            rgb = jax.image.resize(rgb, (bnf, s, s, 3), method="bilinear")
         k_post, k_noise = jax.random.split(key)
         mean, logvar = self.vae_encode(vae_params, rgb * 2.0 - 1.0)
         std = jnp.exp(0.5 * logvar)

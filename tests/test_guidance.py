@@ -1,0 +1,85 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+from animate3d_tpu.models.vae import AutoencoderKL, VAEConfig
+from animate3d_tpu.pipelines.guidance import AnimateMVGuidance, GuidanceConfig
+
+
+N_VIEW, N_FRAME, RES = 4, 2, 32
+
+
+@pytest.fixture(scope="module")
+def guidance_setup():
+    ucfg = MVUNetConfig.tiny()
+    unet = MVMotionUNet(ucfg)
+    bn = N_VIEW
+    vcfg = VAEConfig.tiny()
+    vae = AutoencoderKL(vcfg)
+
+    # tiny VAE downsamples 2×; encode at 16² → 8² latents
+    imgs = jnp.zeros((bn * N_FRAME, 16, 16, 3))
+    vae_params = jax.jit(vae.init)(jax.random.PRNGKey(0), imgs[:1])
+
+    z = vae.apply(vae_params, imgs[:1], method=vae.encode_mode)
+    lh = z.shape[1]
+    latents = jnp.zeros((bn, N_FRAME, lh, lh, 4))
+    text = jnp.zeros((bn, 7, ucfg.cross_attention_dim))
+    camera = jnp.zeros((bn, 16))
+    img_emb = jnp.zeros((bn, ucfg.image_embed_dim))
+    unet_params = jax.jit(unet.init)(jax.random.PRNGKey(0), latents,
+                                     jnp.asarray(0.0), text, camera, img_emb)
+
+    def unet_apply(p, lat, t, ctx, cam, ie, i2v_cond_time_zero=False):
+        return unet.apply(p, lat, t, ctx, cam, ie,
+                          i2v_cond_time_zero=i2v_cond_time_zero)
+
+    def vae_encode(p, x):
+        return vae.apply(p, x, method=AutoencoderKL.encode)
+
+    g = AnimateMVGuidance(
+        unet_apply, vae_encode,
+        GuidanceConfig(n_view=N_VIEW, n_frame=N_FRAME, guidance_scale=5.0,
+                       image_size=16))
+    return g, unet_params, vae_params, ucfg
+
+
+def test_guidance_loss_finite_and_differentiable(guidance_setup):
+    g, unet_params, vae_params, ucfg = guidance_setup
+    bn = N_VIEW
+    rng = np.random.default_rng(0)
+    rgb = jnp.asarray(rng.uniform(size=(bn * N_FRAME, 64, 64, 3)), jnp.float32)
+    text_c = jnp.asarray(rng.normal(size=(bn, 7, ucfg.cross_attention_dim)),
+                         jnp.float32)
+    text_u = jnp.zeros_like(text_c)
+    c2w = jnp.tile(jnp.eye(4)[None], (bn * N_FRAME, 1, 1))
+    c2w = c2w.at[:, 0, 3].set(3.0)
+    img_emb = jnp.asarray(rng.normal(size=(bn, ucfg.image_embed_dim)), jnp.float32)
+
+    def loss_fn(rgb):
+        return g(unet_params, vae_params, rgb, text_c, text_u, c2w, img_emb,
+                 jax.random.PRNGKey(0), global_step=10)
+
+    loss, grad = jax.value_and_grad(loss_fn)(rgb)
+    assert np.isfinite(float(loss))
+    grad = np.asarray(grad)
+    assert np.all(np.isfinite(grad))
+    # gradients must flow to frames 1.. renders; frame 0 contributes too via
+    # the clean-latent target
+    assert np.abs(grad).max() > 0
+
+
+def test_min_max_step_annealing(guidance_setup):
+    g, *_ = guidance_setup
+    mn, mx = g.min_max_step(0)
+    assert mn == int(0.02 * 1000)
+    assert mx == int(0.2 * 1000)
+    g2 = AnimateMVGuidance(
+        g.unet_apply, g.vae_encode,
+        GuidanceConfig(n_view=N_VIEW, n_frame=N_FRAME,
+                       max_step_percent=[0, 0.98, 0.2, 100]))
+    _, mx0 = g2.min_max_step(0)
+    _, mx1 = g2.min_max_step(100)
+    assert mx0 == 980 and mx1 in (199, 200)  # int() truncation of fp arithmetic
