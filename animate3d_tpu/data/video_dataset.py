@@ -1,0 +1,99 @@
+"""MV-Video training dataset (host-side).
+
+Parity target: animatediff/data/dataset.py:18-95 (MVideoDataset) — a JSON
+manifest mapping each item to 4 per-view MP4s + a caption (+ camera angles);
+``sample_n_frames`` frames sampled at a random stride phase from the clip;
+pixels normalized to [-1, 1]; cameras from the MVDream orbit ``get_camera``.
+
+decord is replaced by imageio's ffmpeg reader (CPU decode feeding the device
+pipeline); batches are plain numpy dicts consumed by the pjit train step.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from animate3d_tpu.utils.camera import get_camera
+
+
+@dataclass
+class MVideoConfig:
+    manifest_path: str = ""
+    video_root: str = ""
+    sample_size: int = 256
+    sample_n_frames: int = 16
+    total_frames: int = 48  # source clip length the stride phase samples from
+    num_views: int = 4
+    elevation: float = 15.0
+
+
+def _read_video_frames(path: str, indices: np.ndarray, size: int) -> np.ndarray:
+    import imageio.v3 as iio
+    from PIL import Image
+
+    frames = iio.imread(path, plugin="pyav") if path.endswith(".mp4") else iio.imread(path)
+    frames = np.asarray(frames)
+    if frames.ndim == 3:
+        frames = frames[None]
+    out = []
+    for i in indices:
+        f = frames[min(int(i), len(frames) - 1)]
+        if f.shape[0] != size or f.shape[1] != size:
+            f = np.asarray(Image.fromarray(f).resize((size, size), Image.LANCZOS))
+        out.append(f[..., :3])
+    return np.stack(out)
+
+
+class MVideoDataset:
+    """items: [{"videos": [4 paths], "caption": str, ("azimuth_start": deg)}]"""
+
+    def __init__(self, cfg: MVideoConfig, seed: int = 0):
+        self.cfg = cfg
+        with open(cfg.manifest_path) as f:
+            self.items: List[Dict] = json.load(f)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        return len(self.items)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        cfg = self.cfg
+        item = self.items[idx]
+        # random stride phase over the source clip (dataset.py:57-65)
+        stride = cfg.total_frames // cfg.sample_n_frames
+        phase = int(self.rng.integers(0, max(stride, 1)))
+        indices = phase + stride * np.arange(cfg.sample_n_frames)
+
+        videos = []
+        for rel in item["videos"][: cfg.num_views]:
+            path = os.path.join(cfg.video_root, rel)
+            frames = _read_video_frames(path, indices, cfg.sample_size)
+            videos.append(frames.astype(np.float32) / 127.5 - 1.0)
+        pixel_values = np.stack(videos)  # (N, F, H, W, 3) in [-1, 1]
+
+        cameras = get_camera(cfg.num_views, elevation=cfg.elevation,
+                             azimuth_start=item.get("azimuth_start", 0.0))
+        return {
+            "pixel_values": pixel_values,
+            "cameras": cameras,  # (N, 16)
+            "text": item.get("caption", ""),
+        }
+
+    def iterate(self, batch_size: int = 1, shuffle: bool = True
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.items))
+        while True:
+            if shuffle:
+                self.rng.shuffle(order)
+            for start in range(0, len(order) - batch_size + 1, batch_size):
+                samples = [self[int(i)] for i in order[start:start + batch_size]]
+                yield {
+                    "pixel_values": np.stack([s["pixel_values"] for s in samples]),
+                    "cameras": np.stack([s["cameras"] for s in samples]),
+                    "text": [s["text"] for s in samples],
+                }

@@ -161,6 +161,15 @@ class Animate3DSystem:
             self.connectivity = arap_mod.connectivity_from_points(
                 state.xyz[None], radius=cfg.loss.arap_radius, K=cfg.loss.arap_K)
 
+        # statically-active optional loss terms (reference gates on the config
+        # value too, animate3d.py:256-296; also avoids 0·NaN gradient traps)
+        from animate3d_tpu.core.config import C_max
+
+        self.active_terms = frozenset(
+            name for name in ("lambda_position", "lambda_sparsity",
+                              "lambda_scales", "lambda_tv_loss", "lambda_arap")
+            if C_max(getattr(cfg.loss, name)) > 0.0)
+
         self._train_step = jax.jit(self._train_step_impl,
                                    static_argnames=("do_guidance",))
 
@@ -246,18 +255,24 @@ class Animate3DSystem:
             metrics = {"loss_rgb": loss_rgb, "loss_mask": loss_mask}
 
             # ARAP over the first view's trajectory (animate3d.py:216-244)
-            means_v0 = out.means3d[: cfg.n_frame]
-            loss_arap = self._arap(means_v0, frame_w, k_arap)
-            loss = loss + lambdas["lambda_arap"] * loss_arap
-            metrics["loss_arap"] = loss_arap
+            if "lambda_arap" in self.active_terms:
+                means_v0 = out.means3d[: cfg.n_frame]
+                loss_arap = self._arap(means_v0, frame_w, k_arap)
+                loss = loss + lambdas["lambda_arap"] * loss_arap
+                metrics["loss_arap"] = loss_arap
 
-            # optional regularizers
-            loss = loss + lambdas["lambda_position"] * jnp.mean(
-                jnp.linalg.norm(out.means3d, axis=-1))
-            loss = loss + lambdas["lambda_sparsity"] * jnp.mean(
-                jnp.sqrt(out.alpha ** 2 + 0.01))
-            loss = loss + lambdas["lambda_scales"] * jnp.sum(out.scales) / out.scales.shape[0]
-            loss = loss + lambdas["lambda_tv_loss"] * tv_loss(out.rgb)
+            # optional regularizers (statically gated)
+            if "lambda_position" in self.active_terms:
+                safe_norm = jnp.sqrt(jnp.sum(out.means3d ** 2, axis=-1) + 1e-12)
+                loss = loss + lambdas["lambda_position"] * jnp.mean(safe_norm)
+            if "lambda_sparsity" in self.active_terms:
+                loss = loss + lambdas["lambda_sparsity"] * jnp.mean(
+                    jnp.sqrt(out.alpha ** 2 + 0.01))
+            if "lambda_scales" in self.active_terms:
+                loss = loss + lambdas["lambda_scales"] * (
+                    jnp.sum(out.scales) / out.scales.shape[0])
+            if "lambda_tv_loss" in self.active_terms:
+                loss = loss + lambdas["lambda_tv_loss"] * tv_loss(out.rgb)
 
             if do_guidance and self.guidance is not None:
                 g = guidance_batch
