@@ -1,0 +1,98 @@
+import json
+import os
+import struct
+
+import numpy as np
+import pytest
+
+
+def test_split_gif_roundtrip(tmp_path):
+    from PIL import Image
+    from animate3d_tpu.tools.split_gif import split_gif
+
+    n_views, n_frames, size = 4, 3, 16
+    frames = []
+    vals = np.arange(n_views * n_frames).reshape(n_views, n_frames) * 5 + 10
+    for fi in range(n_frames):
+        row = np.concatenate(
+            [np.full((size, size, 3), vals[v, fi], np.uint8) for v in range(n_views)],
+            axis=1)
+        frames.append(Image.fromarray(row))
+    gif = tmp_path / "mv.gif"
+    frames[0].save(gif, save_all=True, append_images=frames[1:], duration=100)
+
+    out = tmp_path / "split"
+    n = split_gif(str(gif), str(out), n_views)
+    assert n == n_frames
+    for v in range(n_views):
+        for fi in range(n_frames):
+            img = np.asarray(Image.open(out / f"{v * n_frames + fi}.png"))
+            # GIF palette quantization is lossless for uniform tiles
+            assert abs(int(img[0, 0, 0]) - int(vals[v, fi])) <= 2
+
+
+def test_process_rodin(tmp_path):
+    from animate3d_tpu.tools.process_rodin import process
+
+    obj = tmp_path / "a.obj"
+    obj.write_text("mtllib base.mtl\nv 0 0 0\nf 1 1 1\n")
+    process(str(obj), texture_name="tex.png")
+    content = obj.read_text()
+    assert "usemtl Material" in content
+    assert content.index("mtllib") < content.index("usemtl")
+    assert "map_Kd tex.png" in (tmp_path / "base.mtl").read_text()
+
+
+def test_chroma_segmentation():
+    from animate3d_tpu.tools.tracking import segment_video
+
+    h = w = 32
+    frames = np.ones((3, h, w, 3), np.float32)
+    # a dark moving square
+    for fi in range(3):
+        frames[fi, 8 + fi: 16 + fi, 8:16] = 0.2
+    template = np.zeros((h, w), np.float32)
+    template[8:16, 8:16] = 1.0
+    masks = segment_video(frames, template, backend="chroma")
+    assert masks.shape == (3, h, w)
+    assert masks[0, 10, 10] == 1.0
+    assert masks[0, 2, 2] == 0.0
+    assert masks[2, 17, 10] == 1.0  # tracked the moved square
+
+
+def test_glb_morph_export(tmp_path):
+    from animate3d_tpu.tools.export_animated_mesh import (
+        write_glb_morph_animation,
+        inverse_asset_transform,
+    )
+    from animate3d_tpu.gaussians.ply import asset_transform_matrix
+
+    verts = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    faces = np.asarray([[0, 1, 2]], np.int32)
+    frames = np.stack([verts, verts + [0, 0, 0.5]])
+    out = write_glb_morph_animation(str(tmp_path / "anim.glb"), verts, faces, frames)
+
+    raw = open(out, "rb").read()
+    magic, version, total = struct.unpack("<III", raw[:12])
+    assert magic == 0x46546C67 and version == 2 and total == len(raw)
+    json_len = struct.unpack("<I", raw[12:16])[0]
+    gltf = json.loads(raw[20:20 + json_len])
+    assert len(gltf["meshes"][0]["primitives"][0]["targets"]) == 2
+    assert gltf["animations"][0]["channels"][0]["target"]["path"] == "weights"
+
+    # inverse transform undoes the load-time re-posing
+    rot = asset_transform_matrix(90.0, 30.0)
+    posed = np.einsum("ij,fnj->fni", rot, frames) * 2.0
+    restored = inverse_asset_transform(posed, 90.0, 30.0, 2.0)
+    np.testing.assert_allclose(restored, frames, atol=1e-5)
+
+
+def test_trajectory_loader(tmp_path):
+    from animate3d_tpu.tools.export_animated_mesh import load_trajectory_frames
+
+    for i in [0, 1, 10, 2]:
+        np.save(tmp_path / f"means3D_frame_{i}.npy",
+                np.full((4, 3), float(i), np.float32))
+    traj = load_trajectory_frames(str(tmp_path))
+    assert traj.shape == (4, 4, 3)
+    np.testing.assert_array_equal(traj[:, 0, 0], [0, 1, 2, 10])
