@@ -297,6 +297,80 @@ def _composite(
     return untile(rgb), untile(depth_im), untile(acc)
 
 
+def _composite_records_xla(records: jnp.ndarray, origins: jnp.ndarray,
+                           tile: int, alpha_min: float, alpha_max: float,
+                           chunk: int = 32) -> jnp.ndarray:
+    """Differentiable XLA mirror of the Pallas compositing kernel: packed
+    records (T, K, 12) → (T, 8, tile²) channel planes. Used as the Pallas
+    forward's backward pass (identical math ⇒ identical gradients)."""
+    t, k, _ = records.shape
+    px_lin = jnp.arange(tile * tile, dtype=jnp.float32)
+    pxx = jnp.mod(px_lin, tile)
+    pyy = jnp.floor(px_lin / tile)
+
+    def per_chunk(args):
+        rec, org = args  # (C, K, 12), (C, 2)
+        gx = org[:, 0:1] + pxx[None]  # (C, PX)
+        gy = org[:, 1:2] + pyy[None]
+        dx = rec[:, :, 0:1] - gx[:, None, :]  # (C, K, PX)
+        dy = rec[:, :, 1:2] - gy[:, None, :]
+        power = (-0.5 * (rec[:, :, 2:3] * dx * dx + rec[:, :, 4:5] * dy * dy)
+                 - rec[:, :, 3:4] * dx * dy)
+        alpha = jnp.minimum(alpha_max, rec[:, :, 5:6] * jnp.exp(power))
+        alpha = jnp.where(power > 0.0, 0.0, alpha)
+        alpha = jnp.where(alpha < alpha_min, 0.0, alpha)
+        alpha = alpha * rec[:, :, 10:11]
+        T_incl = jnp.cumprod(1.0 - alpha, axis=1)
+        T_excl = jnp.concatenate(
+            [jnp.ones_like(T_incl[:, :1]), T_incl[:, :-1]], axis=1)
+        w = alpha * T_excl  # (C, K, PX)
+        r = jnp.sum(w * rec[:, :, 6:7], axis=1)
+        g = jnp.sum(w * rec[:, :, 7:8], axis=1)
+        b = jnp.sum(w * rec[:, :, 8:9], axis=1)
+        d = jnp.sum(w * rec[:, :, 9:10], axis=1)
+        a = jnp.sum(w, axis=1)
+        Tf = T_incl[:, -1]
+        z = jnp.zeros_like(a)
+        return jnp.stack([r, g, b, a, d, Tf, z, z], axis=1)  # (C, 8, PX)
+
+    pad = (-t) % chunk
+    rec = jnp.pad(records, ((0, pad), (0, 0), (0, 0)))
+    org = jnp.pad(origins, ((0, pad), (0, 0)))
+    out = jax.lax.map(per_chunk, (rec.reshape(-1, chunk, k, RECORD_WIDTH),
+                                  org.reshape(-1, chunk, 2)))
+    return out.reshape(-1, 8, tile * tile)[:t]
+
+
+RECORD_WIDTH = 12
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _composite_records(records, origins, tile, alpha_min, alpha_max):
+    """Pallas forward / XLA-autodiff backward compositing over packed records."""
+    from animate3d_tpu.ops.rasterize_pallas import composite_tiles_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    return composite_tiles_pallas(origins, records, tile=tile,
+                                  alpha_min=alpha_min, alpha_max=alpha_max,
+                                  interpret=interpret)
+
+
+def _composite_records_fwd(records, origins, tile, alpha_min, alpha_max):
+    return (_composite_records(records, origins, tile, alpha_min, alpha_max),
+            (records, origins))
+
+
+def _composite_records_bwd(tile, alpha_min, alpha_max, res, g):
+    records, origins = res
+    _, vjp = jax.vjp(
+        lambda r: _composite_records_xla(r, origins, tile, alpha_min, alpha_max),
+        records)
+    return vjp(g)[0], jnp.zeros_like(origins)
+
+
+_composite_records.defvjp(_composite_records_fwd, _composite_records_bwd)
+
+
 class RenderOutput(NamedTuple):
     rgb: jnp.ndarray  # (H, W, 3)
     depth: jnp.ndarray  # (H, W)
@@ -305,7 +379,7 @@ class RenderOutput(NamedTuple):
     mean2d: jnp.ndarray  # (N, 2) pixel coords (screenspace grads source)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "active_sh_degree"))
+@functools.partial(jax.jit, static_argnames=("cfg", "active_sh_degree", "backend"))
 def rasterize(
     means3d: jnp.ndarray,
     scales: jnp.ndarray,
@@ -318,12 +392,15 @@ def rasterize(
     bg: Optional[jnp.ndarray] = None,
     scale_modifier: float = 1.0,
     active_sh_degree: int = 0,
+    backend: str = "auto",  # auto | xla | pallas
 ) -> RenderOutput:
     """Render one view. Differentiable in all gaussian inputs.
 
     Mirrors the CUDA GaussianRasterizer call surface
     (diff_gaussian_rasterizer_advanced_4d.py:161-170): provide either ``shs``
-    (N, K, 3) or ``colors_precomp`` (N, 3).
+    (N, K, 3) or ``colors_precomp`` (N, 3). On TPU the compositing stage runs
+    as a Pallas kernel (ops/rasterize_pallas.py); gradients flow through the
+    matching XLA math either way.
     """
     if bg is None:
         bg = jnp.ones((3,), jnp.float32)
@@ -340,6 +417,32 @@ def rasterize(
         colors = colors_precomp
 
     idx, ok = _tile_select(proj, cfg)
-    rgb, depth, alpha = _composite(proj, colors, opacity, bg, idx, ok, cfg)
+
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu" and cfg.tile == 16)
+    if use_pallas:
+        from animate3d_tpu.ops.rasterize_pallas import pack_records
+
+        records = pack_records(proj, colors, opacity, idx, ok)
+        t_tiles = records.shape[0]
+        tile_ids = jnp.arange(t_tiles, dtype=jnp.float32)
+        origins = jnp.stack([(tile_ids % cfg.tiles_x) * cfg.tile,
+                             (tile_ids // cfg.tiles_x) * cfg.tile], axis=1)
+        planes = _composite_records(records, origins, cfg.tile,
+                                    cfg.alpha_min, cfg.alpha_max)
+
+        def untile(a):  # (T, PX) → (H, W)
+            a = a.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile, cfg.tile)
+            a = jnp.moveaxis(a, 2, 1).reshape(cfg.tiles_y * cfg.tile,
+                                              cfg.tiles_x * cfg.tile)
+            return a[: cfg.height, : cfg.width]
+
+        t_final = untile(planes[:, 5])
+        rgb = jnp.stack([untile(planes[:, i]) for i in range(3)], axis=-1)
+        rgb = rgb + t_final[..., None] * bg[None, None, :]
+        alpha = untile(planes[:, 3])
+        depth = untile(planes[:, 4])
+    else:
+        rgb, depth, alpha = _composite(proj, colors, opacity, bg, idx, ok, cfg)
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha, radii=proj.radius,
                         mean2d=proj.mean2d)
