@@ -1,0 +1,61 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from animate3d_tpu.core.checkpoint import (
+    extract_motion_modules,
+    find_latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_save_restore_roundtrip(tmp_path):
+    payload = {
+        "params": {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones(4)}},
+        "step": 7,
+    }
+    save_checkpoint(str(tmp_path), 7, payload)
+    assert find_latest_checkpoint(str(tmp_path)).endswith("step_7")
+    target = jax.tree_util.tree_map(jnp.zeros_like, payload)
+    restored = restore_checkpoint(find_latest_checkpoint(str(tmp_path)), target)
+    np.testing.assert_array_equal(np.asarray(restored["params"]["a"]),
+                                  np.arange(6.0).reshape(2, 3))
+    assert int(restored["step"]) == 7
+
+
+def test_latest_and_keep(tmp_path):
+    for step in (5, 10, 2):
+        save_checkpoint(str(tmp_path), step, {"x": jnp.zeros(2)})
+    assert find_latest_checkpoint(str(tmp_path)).endswith("step_10")
+    save_checkpoint(str(tmp_path), 20, {"x": jnp.zeros(2)}, keep=2)
+    import os
+
+    left = sorted(os.listdir(tmp_path))
+    assert "step_20" in left and "step_10" in left
+    assert "step_2" not in left and "step_5" not in left
+
+
+def test_extract_motion_modules():
+    params = {
+        "down_blocks_0_motion_modules_0": {"proj_in": {"kernel": 1}},
+        "down_blocks_0_attentions_0": {
+            "transformer_blocks_0": {
+                "attn1": {"to_q": {"kernel": 2}, "to_q_i2v": {"kernel": 3}},
+            }
+        },
+        "conv_in": {"kernel": 4},
+    }
+    sub = extract_motion_modules(params)
+    flat = jax.tree_util.tree_leaves(sub)
+    assert sorted(flat) == [1, 3]  # motion module + i2v adapter only
+
+
+def test_registry_entries_importable():
+    import animate3d_tpu.registry_entries  # noqa: F401
+    from animate3d_tpu.core.registry import find
+
+    assert find("gaussian-splatting-animate3d-system") is not None
+    assert find("animatemv-diffusion-guidance") is not None
+    assert find("simple-multi-image-datamodule") is not None
