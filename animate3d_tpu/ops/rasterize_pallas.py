@@ -35,9 +35,9 @@ def _composite_kernel(origins_ref, records_ref, out_ref, *, k_max: int,
     g = records_ref.shape[0]
 
     # pixel coordinates (G, PX): tile-local grid + per-tile origin
-    lin = jax.lax.broadcasted_iota(jnp.float32, (g, PX), 1)
-    px = jnp.mod(lin, tile)
-    py = jnp.floor(lin / tile)
+    lin = jax.lax.broadcasted_iota(jnp.int32, (g, PX), 1)
+    px = jnp.mod(lin, tile).astype(jnp.float32)
+    py = (lin // tile).astype(jnp.float32)
     ox = origins_ref[:, 0].reshape(g, 1)
     oy = origins_ref[:, 1].reshape(g, 1)
     gx = ox + px
