@@ -132,7 +132,23 @@ def build_guidance(sys_cfg: Dict[str, Any], acfg):
         i2v_cond_time_zero=g.get("model_config", {}).get("i2v_cond_time_zero", False),
     )
     guidance = AnimateMVGuidance(unet_apply, vae_encode, gcfg)
-    return guidance, {"unet_params": unet_params, "vae_params": vae_params}
+
+    # conditioning for the SDS batch (one video = n_view rows). Text comes
+    # from the cached prompt processor when available, zeros otherwise.
+    bn = acfg.n_view
+    pp = dict(sys_cfg.get("prompt_processor", {}))
+    from animate3d_tpu.models.prompt_processor import encode_prompt_or_zeros
+
+    text_cond, text_uncond = encode_prompt_or_zeros(
+        pp.get("prompt", ""), pp.get("negative_prompt", ""), bn)
+    inputs = {
+        "unet_params": unet_params,
+        "vae_params": vae_params,
+        "text_cond": text_cond,
+        "text_uncond": text_uncond,
+        "image_embeds": jnp.zeros((bn, ucfg.image_embed_dim)),
+    }
+    return guidance, inputs
 
 
 def run_train(cfg, system, args) -> None:

@@ -356,16 +356,19 @@ def _composite_records(records, origins, tile, alpha_min, alpha_max):
 
 
 def _composite_records_fwd(records, origins, tile, alpha_min, alpha_max):
-    return (_composite_records(records, origins, tile, alpha_min, alpha_max),
-            (records, origins))
+    out = _composite_records(records, origins, tile, alpha_min, alpha_max)
+    return out, (records, origins, out[:, 5, :])
 
 
 def _composite_records_bwd(tile, alpha_min, alpha_max, res, g):
-    records, origins = res
-    _, vjp = jax.vjp(
-        lambda r: _composite_records_xla(r, origins, tile, alpha_min, alpha_max),
-        records)
-    return vjp(g)[0], jnp.zeros_like(origins)
+    records, origins, tfinal = res
+    from animate3d_tpu.ops.rasterize_pallas import composite_tiles_pallas_bwd
+
+    interpret = jax.default_backend() != "tpu"
+    grad = composite_tiles_pallas_bwd(origins, records, tfinal, g, tile=tile,
+                                      alpha_min=alpha_min, alpha_max=alpha_max,
+                                      interpret=interpret)
+    return grad, jnp.zeros_like(origins)
 
 
 _composite_records.defvjp(_composite_records_fwd, _composite_records_bwd)

@@ -115,6 +115,138 @@ def composite_tiles_pallas(
     return out[:t]
 
 
+def _composite_bwd_kernel(origins_ref, records_ref, tfinal_ref, cot_ref,
+                          grad_ref, *, k_max: int, tile: int,
+                          alpha_min: float, alpha_max: float):
+    """Backward: reverse walk over gaussians, recomputing alpha from records.
+
+    For w_k = α_k·T_k, T_k = Π_{j<k}(1−α_j):
+      ∂L/∂α_k = dw_k·T_k − (S_k + g_T·T_final)/(1−α_k),
+      S_k = Σ_{j>k} dw_j·w_j  (accumulated during the reverse loop),
+    the same recurrence the CUDA kernel's back-to-front pass uses.
+    """
+    g = records_ref.shape[0]
+    lin = jax.lax.broadcasted_iota(jnp.int32, (g, PX), 1)
+    px = jnp.mod(lin, tile).astype(jnp.float32)
+    py = (lin // tile).astype(jnp.float32)
+    gx = origins_ref[:, 0].reshape(g, 1) + px
+    gy = origins_ref[:, 1].reshape(g, 1) + py
+
+    gr = cot_ref[:, 0, :]
+    gg = cot_ref[:, 1, :]
+    gb = cot_ref[:, 2, :]
+    ga = cot_ref[:, 3, :]
+    gd = cot_ref[:, 4, :]
+    gT = cot_ref[:, 5, :]
+    tfinal = tfinal_ref[:, 0, :]
+    gT_tf = gT * tfinal
+
+    def body(i, carry):
+        S, T_next = carry
+        k = k_max - 1 - i
+        rec = records_ref[:, k, :]
+        col = lambda j: rec[:, j].reshape(g, 1)
+        dx = col(0) - gx
+        dy = col(1) - gy
+        ca, cb, cc = col(2), col(3), col(4)
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        e = jnp.exp(power)
+        raw = col(5) * e
+        clamped = raw > alpha_max
+        alpha = jnp.minimum(alpha_max, raw)
+        live = jnp.logical_and(power <= 0.0, alpha >= alpha_min)
+        live = jnp.logical_and(live, col(10) > 0.0)
+        alpha = jnp.where(live, alpha, 0.0)
+
+        one_minus = 1.0 - alpha
+        T_k = T_next / one_minus  # α ≤ 0.99 ⇒ safe
+        w_k = alpha * T_k
+
+        dw = gr * col(6) + gg * col(7) + gb * col(8) + gd * col(9) + ga
+        dalpha = dw * T_k - (S + gT_tf) / one_minus
+
+        # chain into the record fields (masked & clamp-aware)
+        pass_through = jnp.where(jnp.logical_and(live, ~clamped), 1.0, 0.0)
+        dop = dalpha * e * pass_through
+        dpow = dalpha * raw * pass_through
+        dxr = dpow * (-ca * dx - cb * dy)
+        dyr = dpow * (-cc * dy - cb * dx)
+        dca = dpow * (-0.5 * dx * dx)
+        dcb = dpow * (-dx * dy)
+        dcc = dpow * (-0.5 * dy * dy)
+        dcr = gr * w_k
+        dcg = gg * w_k
+        dcb_col = gb * w_k
+        ddep = gd * w_k
+
+        def rsum(v):
+            return jnp.sum(v, axis=1)
+
+        grad_ref[:, k, 0] = rsum(dxr)
+        grad_ref[:, k, 1] = rsum(dyr)
+        grad_ref[:, k, 2] = rsum(dca)
+        grad_ref[:, k, 3] = rsum(dcb)
+        grad_ref[:, k, 4] = rsum(dcc)
+        grad_ref[:, k, 5] = rsum(dop)
+        grad_ref[:, k, 6] = rsum(dcr)
+        grad_ref[:, k, 7] = rsum(dcg)
+        grad_ref[:, k, 8] = rsum(dcb_col)
+        grad_ref[:, k, 9] = rsum(ddep)
+        grad_ref[:, k, 10] = jnp.zeros((g,), jnp.float32)
+        grad_ref[:, k, 11] = jnp.zeros((g,), jnp.float32)
+
+        return S + dw * w_k, T_k
+
+    init = (jnp.zeros((g, PX), jnp.float32), tfinal)
+    jax.lax.fori_loop(0, k_max, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "alpha_min", "alpha_max",
+                                             "tiles_per_program", "interpret"))
+def composite_tiles_pallas_bwd(
+    origins: jnp.ndarray,  # (T, 2)
+    records: jnp.ndarray,  # (T, K, RECORD)
+    tfinal: jnp.ndarray,  # (T, PX) forward final transmittance
+    cotangents: jnp.ndarray,  # (T, 8, PX)
+    tile: int = 16,
+    alpha_min: float = 1.0 / 255.0,
+    alpha_max: float = 0.99,
+    tiles_per_program: int = 8,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """→ grad records (T, K, RECORD)."""
+    t, k, rec = records.shape
+    g = tiles_per_program
+    pad = (-t) % g
+    if pad:
+        origins = jnp.pad(origins, ((0, pad), (0, 0)))
+        records = jnp.pad(records, ((0, pad), (0, 0), (0, 0)))
+        tfinal = jnp.pad(tfinal, ((0, pad), (0, 0)), constant_values=1.0)
+        cotangents = jnp.pad(cotangents, ((0, pad), (0, 0), (0, 0)))
+    tp = origins.shape[0]
+    tf3 = tfinal[:, None, :]  # (T, 1, PX)
+
+    out = pl.pallas_call(
+        functools.partial(_composite_bwd_kernel, k_max=k, tile=tile,
+                          alpha_min=alpha_min, alpha_max=alpha_max),
+        grid=(tp // g,),
+        in_specs=[
+            pl.BlockSpec((g, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, k, RECORD), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 1, PX), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 8, PX), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((g, k, RECORD), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((tp, k, RECORD), jnp.float32),
+        interpret=interpret,
+    )(origins, records, tf3, cotangents)
+    return out[:t]
+
+
 def pack_records(proj, colors: jnp.ndarray, opacity: jnp.ndarray,
                  idx: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
     """Gather the per-tile gaussian records for the kernel (one XLA gather)."""
