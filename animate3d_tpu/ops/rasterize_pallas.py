@@ -249,13 +249,17 @@ def composite_tiles_pallas_bwd(
 
 def pack_records(proj, colors: jnp.ndarray, opacity: jnp.ndarray,
                  idx: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
-    """Gather the per-tile gaussian records for the kernel (one XLA gather)."""
-    m2d = proj.mean2d[idx]  # (T, K, 2)
-    con = proj.conic[idx]  # (T, K, 3)
-    op = opacity[idx][..., None]  # (T, K, 1)
-    col = colors[idx]  # (T, K, 3)
-    dep = proj.depth[idx][..., None]
-    okf = ok[..., None].astype(jnp.float32)
-    padz = jnp.zeros_like(okf)
+    """Gather the per-tile gaussian records for the kernel.
+
+    Packs the per-gaussian table (N, 12) FIRST so the tile binning is a
+    single gather (and its backward a single scatter) instead of six narrow
+    ones — narrow trailing dims pad to the 128-lane width on TPU."""
+    n = proj.mean2d.shape[0]
+    table = jnp.concatenate(
+        [proj.mean2d, proj.conic, opacity[:, None], colors,
+         proj.depth[:, None], jnp.zeros((n, 2), proj.mean2d.dtype)], axis=-1)
+    rec = table[idx]  # (T, K, 12)
+    okf = ok.astype(rec.dtype)[..., None]
+    # slot 10 carries the ok flag; slot 11 stays zero
     return jnp.concatenate(
-        [m2d, con, op, col, dep, okf, padz], axis=-1)  # (T, K, 12)
+        [rec[..., :10], okf, rec[..., 11:]], axis=-1)

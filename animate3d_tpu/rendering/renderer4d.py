@@ -43,6 +43,10 @@ class Renderer4DConfig:
     straight_through_prob: float = 0.1
     max_per_tile: int = 256
     tile_chunk: int = 32
+    # views composited per lax.map step: bounds the padded gather buffers of
+    # the tile binning (narrow trailing dims pad to the 128-lane width, so a
+    # full 64-view vmap would allocate ~64× the logical bytes)
+    view_chunk: int = 8
 
     def raster_config(self, sh_degree: int = 0) -> RasterConfig:
         return RasterConfig(
@@ -118,7 +122,17 @@ def render_batch(
         return (jnp.clip(out.rgb, 0.0, 1.0), out.depth, out.alpha, out.radii,
                 xyz, rot, scales)
 
-    rgb, depth, alpha, radii, means, rots, scales = jax.vmap(render_one)(
-        cameras, timestamps, keys)
+    c = min(cfg.view_chunk, b)
+    pad = (-b) % c
+
+    def pad_chunk(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+        return x.reshape((-1, c) + x.shape[1:])
+
+    chunked = jax.tree_util.tree_map(pad_chunk, (cameras, timestamps, keys))
+    outs = jax.lax.map(lambda args: jax.vmap(render_one)(*args), chunked)
+    rgb, depth, alpha, radii, means, rots, scales = jax.tree_util.tree_map(
+        lambda x: x.reshape((-1,) + x.shape[2:])[:b], outs)
     return Render4DOutput(rgb=rgb, depth=depth, alpha=alpha, radii=radii,
                           means3d=means, rotations=rots, scales=scales)

@@ -230,18 +230,36 @@ class Animate3DSystem:
                          guidance_batch=None):
         cfg = self.cfg
 
-        def loss_fn(params):
-            def deform_fn(state, t, deform_scales):
-                return self.field.apply(params, state, t, deform_scales,
-                                        method=DeformationField.deform)
+        def make_cached_deform(params, frame_ts, deform_scales):
+            """Deform once per unique frame, not per view·frame item (the
+            reference recomputes per item in its batch loop)."""
+            deformed = jax.vmap(
+                lambda t: self.field.apply(params, self.state, t, deform_scales,
+                                           method=DeformationField.deform)[:3]
+            )(frame_ts)
 
+            def fn(state, t, _deform_scales):
+                fi = jnp.argmin(jnp.abs(frame_ts - t))
+                return (deformed[0][fi], deformed[1][fi], deformed[2][fi], None)
+
+            return fn
+
+        # number of frames actually rendered this step (== n_frame for the
+        # 'normal' strategy; the 'light' strategy gathers a 2-frame subset
+        # host-side so shapes stay static per strategy)
+        n_active = timestamps.shape[0] // cfg.n_view
+
+        def loss_fn(params):
             k_render, k_arap, k_g = jax.random.split(key, 3)
+            frame_ts = timestamps[:n_active]
+            deform_fn = make_cached_deform(params, frame_ts, False)
+
             out = render_batch(
                 self.state, deform_fn, cameras, timestamps, cfg.renderer,
                 key=k_render, do_reconstruction=True, do_guidance=False)
 
             # per-item weight from the frame schedule (view-major layout)
-            item_w = jnp.tile(frame_w, cfg.n_view)  # (N·F,)
+            item_w = jnp.tile(frame_w, cfg.n_view)  # (N·F',)
             wsum = jnp.maximum(jnp.sum(item_w), 1e-8)
 
             bgc = jnp.asarray(cfg.renderer.back_ground_color, jnp.float32)
@@ -256,7 +274,7 @@ class Animate3DSystem:
 
             # ARAP over the first view's trajectory (animate3d.py:216-244)
             if "lambda_arap" in self.active_terms:
-                means_v0 = out.means3d[: cfg.n_frame]
+                means_v0 = out.means3d[:n_active]
                 loss_arap = self._arap(means_v0, frame_w, k_arap)
                 loss = loss + lambdas["lambda_arap"] * loss_arap
                 metrics["loss_arap"] = loss_arap
@@ -276,8 +294,10 @@ class Animate3DSystem:
 
             if do_guidance and self.guidance is not None:
                 g = guidance_batch
+                g_deform = make_cached_deform(
+                    params, g["timestamps"][: cfg.n_frame], True)
                 gout = render_batch(
-                    self.state, deform_fn, g["cameras"], g["timestamps"],
+                    self.state, g_deform, g["cameras"], g["timestamps"],
                     cfg.renderer, key=None, do_reconstruction=True,
                     do_guidance=True)
                 loss_sds = self.guidance(
@@ -300,13 +320,39 @@ class Animate3DSystem:
 
     def step(self, batch: Dict[str, Any], key: jax.Array,
              guidance_batch: Optional[Dict[str, Any]] = None) -> Dict[str, float]:
-        frame_w = jnp.asarray(self.frame_weights(self.global_step))
+        cfg = self.cfg
+        frame_w = self.frame_weights(self.global_step)
         lambdas = self.lambdas(self.global_step)
-        do_guidance = self.cfg.load_guidance and self.guidance is not None
+        do_guidance = cfg.load_guidance and self.guidance is not None
+
+        cameras = batch["gs_cameras"]
+        timestamps = np.asarray(batch["timestamps"])
+        rgb = batch["rgb"]
+        mask = batch["mask"]
+
+        if cfg.sample_strategy == "light" and not do_guidance:
+            # fixed-size 2-frame gather (animate3d.py:144-157): always render
+            # [0 (static anchor slot reused as a real frame), newest] — here
+            # the two active frames chosen by the schedule
+            # frame_weights already sampled [random past, newest] — gather
+            # exactly those (pad to 2 early on; the final phase uses all)
+            active = np.nonzero(frame_w)[0]
+            if len(active) == 1:
+                active = np.array([active[0], active[0]])
+            item_idx = np.concatenate(
+                [v * cfg.n_frame + active for v in range(cfg.n_view)])
+            cameras = jax.tree_util.tree_map(lambda x: x[item_idx], cameras)
+            timestamps = timestamps[item_idx]
+            rgb = np.asarray(rgb)[item_idx]
+            mask = np.asarray(mask)[item_idx]
+            frame_w = np.ones((len(active),), np.float32)
+        else:
+            frame_w = np.asarray(frame_w)
+
         self.params, self.opt_state, metrics = self._train_step(
-            self.params, self.opt_state, batch["gs_cameras"],
-            jnp.asarray(batch["timestamps"]), jnp.asarray(batch["rgb"]),
-            jnp.asarray(batch["mask"], jnp.float32), frame_w, lambdas, key,
+            self.params, self.opt_state, cameras,
+            jnp.asarray(timestamps), jnp.asarray(rgb),
+            jnp.asarray(mask, jnp.float32), jnp.asarray(frame_w), lambdas, key,
             do_guidance=do_guidance, guidance_batch=guidance_batch)
         self.global_step += 1
         return {k: float(v) for k, v in metrics.items()}
