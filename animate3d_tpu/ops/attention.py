@@ -51,34 +51,38 @@ def attention_xla(
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, block_k: int):
-    """One (batch·head, q-block) program: stream K/V blocks with online softmax."""
-    q = q_ref[0].astype(jnp.float32) * scale  # (BQ, D)
-    bq = q.shape[0]
-    sk = k_ref.shape[1]
-    num_kb = sk // block_k
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+                  *, scale: float):
+    """Grid (bh, q_block, k_block): K/V stream through VMEM one block at a
+    time (k innermost, sequential on-core); online-softmax state lives in
+    scratch that persists across the k iterations of one (bh, q) cell."""
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
 
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)  # (BQ, BK)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
 
-    d = q.shape[-1]
-    init = (
-        jnp.zeros((bq, d), jnp.float32),
-        jnp.full((bq, 1), -jnp.inf, jnp.float32),
-        jnp.zeros((bq, 1), jnp.float32),
-    )
-    acc, m, l = jax.lax.fori_loop(0, num_kb, body, init)
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    q = q_ref[0]  # (BQ, D) — input dtype so the MXU runs native bf16
+    k_blk = k_ref[0]  # (BK, D)
+    v_blk = v_ref[0].astype(jnp.float32)
+
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+    m_prev = m_ref[:]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(p, v_blk,
+                                              preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -101,36 +105,35 @@ def _flash_attention_fwd_impl(
     qf = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, 128), 1, block_q)
     kf = _pad_to(k.reshape(b * h, sk, d), 2, 128)
     vf = _pad_to(v.reshape(b * h, sk, d), 2, 128)
-    # pad K length — padded keys would win the softmax, so mask via -inf trick:
-    # instead pad K with zeros and rely on extra keys only if sk % block_k != 0.
-    pad_k = (-sk) % block_k
-    if pad_k:
-        kf = jnp.pad(kf, ((0, 0), (0, pad_k), (0, 0)))
-        vf = jnp.pad(vf, ((0, 0), (0, pad_k), (0, 0)))
-        # zero-key logits = 0; to keep them from contributing weight, offset
-        # is handled below by masking probabilities through a -inf bias on q·0
-        # — cheapest correct fix: subtract large constant from padded logits
-        # by giving padded keys a large negative value in the first lane of q?
-        # Simpler: fall back to XLA for ragged K.
+    if (-sk) % block_k:
+        # padded zero-keys would take softmax weight; callers gate on this
         raise ValueError("flash_attention requires Sk % block_k == 0; use XLA fallback")
 
     sq_p = qf.shape[1]
     dp = qf.shape[2]
-    grid = (b * h, sq_p // block_q)
+    grid = (b * h, sq_p // block_q, sk // block_k)
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, scale=scale, block_k=block_k),
+        functools.partial(_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, block_q, dp), lambda i, j, kk: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, kf.shape[1], dp), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, kk: (i, kk, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, vf.shape[1], dp), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((1, block_k, dp), lambda i, j, kk: (i, kk, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j, kk: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, dp), jnp.float32),  # acc
+            pltpu.VMEM((block_q, 1), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),  # running denom
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
     )(qf, kf, vf)
     return out[:, :sq, :d].reshape(b, h, sq, d)
 
@@ -154,13 +157,9 @@ _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
 def _flash_supported(q: jnp.ndarray, k: jnp.ndarray, block_k: int = 512) -> bool:
-    sk = k.shape[2]
-    if sk % block_k != 0:
-        return False
-    # VMEM budget: K/V blocks (full Sk × padded D) must fit comfortably
-    dp = ((q.shape[3] + 127) // 128) * 128
-    kv_bytes = 2 * sk * dp * 4
-    return kv_bytes < 8 * 1024 * 1024
+    # K/V stream through VMEM one block at a time; only the block sizes must
+    # divide (zero-padded keys would otherwise take softmax weight)
+    return k.shape[2] % block_k == 0
 
 
 def multi_head_attention(
@@ -180,8 +179,11 @@ def multi_head_attention(
     if backend == "flash":
         use_flash = True
     elif backend == "auto":
+        # XLA attention is faster below ~8k tokens (the flash kernel pads
+        # SD1.5's head dims 40/80/160 to the 128-lane width); above that the
+        # S² logits materialization dominates and flash wins
         on_tpu = jax.default_backend() == "tpu"
-        use_flash = on_tpu and q.shape[1] >= 1024 and _flash_supported(qh, kh)
+        use_flash = on_tpu and q.shape[1] >= 8192 and _flash_supported(qh, kh)
     if use_flash:
         out = _flash_attention(qh, kh, vh, scale)
     else:
