@@ -174,6 +174,7 @@ def run_train(cfg, system, args) -> None:
 
     max_steps = cfg.trainer.get("max_steps", 800)
     ckpt_every = cfg.checkpoint.get("every_n_train_steps", max_steps)
+    val_every = cfg.trainer.get("val_check_interval", 0)
     ckpt_dir = os.path.join(cfg.trial_dir, "ckpts")
     logger = MetricsLogger(os.path.join(cfg.trial_dir, "metrics.jsonl"))
     timer = StepTimer()
@@ -206,6 +207,8 @@ def run_train(cfg, system, args) -> None:
         if step % cfg.trainer.get("log_every_n_steps", 50) == 0:
             msg = " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
             print(f"[{step}/{max_steps}] {msg} ({timer.last:.2f}s/it)")
+        if val_every and (step + 1) % val_every == 0 and step + 1 < max_steps:
+            _validation_render(cfg, system, step + 1)
         if (step + 1) % ckpt_every == 0 or step + 1 == max_steps:
             save_checkpoint(ckpt_dir, step + 1, {
                 "params": system.params,
@@ -213,6 +216,24 @@ def run_train(cfg, system, args) -> None:
                 "step": step + 1,
             })
     print(f"[train] done; checkpoints in {ckpt_dir}")
+
+
+def _validation_render(cfg, system, step: int) -> None:
+    """Periodic validation renders of the fixed views (Lightning
+    validation_step parity, animate3d.py:372ff)."""
+    from animate3d_tpu.data.cameras import fixed_view_cameras, gs_cameras_from_batch
+    from animate3d_tpu.utils.saving import Saver
+
+    n_frame = system.cfg.n_frame
+    cams = fixed_view_cameras(height=cfg.data.get("height", 256),
+                              width=cfg.data.get("width", 256),
+                              total_frame=n_frame)
+    out = system.render(gs_cameras_from_batch(cams), cams["timestamps"])
+    saver = Saver(os.path.join(cfg.trial_dir, "save"))
+    rgb = np.asarray(out.rgb)
+    n_views = rgb.shape[0] // n_frame
+    frames = rgb.reshape(n_views, n_frame, *rgb.shape[1:])
+    saver.gif_mv(f"val/it{step}.gif", frames)
 
 
 def run_test(cfg, system, args) -> None:

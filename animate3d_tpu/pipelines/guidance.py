@@ -147,6 +147,42 @@ class AnimateMVGuidance:
         loss = 0.5 * jnp.sum((latents - recon) ** 2) / (bn * f) * f / (f - 1)
         return loss
 
+    def preview(self, unet_params, vae_decode, vae_params, latents,
+                text_cond, text_uncond, camera_16d, image_embeds,
+                t_start: int, key, num_steps: int = 25):
+        """Guidance-eval preview sampler (animatemv_guidance.py:668-765):
+        noise the current latents to t_start and DDIM-sample back to 0 with
+        CFG — a visualization of what the frozen teacher pulls toward.
+        latents: (B·N, F, h, w, C) clean; returns decoded frames in [0, 1]."""
+        cfg = self.cfg
+        bn, f = latents.shape[:2]
+        ts_all = self.scheduler.timesteps(num_steps)
+        active = ts_all[ts_all <= t_start]
+        first = latents[:, :1]
+        k_n, key = jax.random.split(key)
+        noise = jax.random.normal(k_n, latents[:, 1:].shape)
+        rest = self.scheduler.add_noise(latents[:, 1:], noise,
+                                        jnp.full((bn,), t_start))
+        x = jnp.concatenate([first, rest], axis=1)
+        ctx = jnp.concatenate([text_cond, text_uncond], axis=0)
+        cam2 = jnp.concatenate([camera_16d, camera_16d], axis=0)
+        img2 = jnp.concatenate([image_embeds, jnp.zeros_like(image_embeds)], axis=0)
+
+        def step(x, t):
+            eps = self.unet_apply(unet_params, jnp.concatenate([x, x], axis=0),
+                                  jnp.full((2 * bn,), t), ctx, cam2, img2,
+                                  i2v_cond_time_zero=cfg.i2v_cond_time_zero)
+            e_t, e_u = jnp.split(eps, 2, axis=0)
+            e = e_t + cfg.guidance_scale * (e_t - e_u)
+            prev, _ = self.scheduler.step(e, t, x, num_steps)
+            return jnp.concatenate([first, prev[:, 1:]], axis=1), None
+
+        x, _ = jax.lax.scan(step, x, active)
+        lh, lw, lc = x.shape[2:]
+        imgs = vae_decode(vae_params,
+                          (x / cfg.latent_scaling).reshape(bn * f, lh, lw, lc))
+        return (imgs / 2 + 0.5).clip(0, 1).reshape(bn, f, *imgs.shape[1:])
+
     def __call__(self, unet_params, vae_params, rgb, text_cond, text_uncond,
                  c2w, image_embeds, key, global_step: int = 0):
         """rgb (B·N·F, H, W, 3); c2w (B·N·F, 4, 4) — frame-0 cameras per view

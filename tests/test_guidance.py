@@ -71,6 +71,27 @@ def test_guidance_loss_finite_and_differentiable(guidance_setup):
     assert np.abs(grad).max() > 0
 
 
+def test_guidance_preview_sampler(guidance_setup):
+    g, unet_params, vae_params, ucfg = guidance_setup
+    from animate3d_tpu.models.vae import AutoencoderKL, VAEConfig
+    vae = AutoencoderKL(VAEConfig.tiny())
+
+    def vae_decode(p, z):
+        return vae.apply(p, z, method=AutoencoderKL.decode)
+
+    bn = N_VIEW
+    rng = np.random.default_rng(1)
+    latents = jnp.asarray(rng.normal(size=(bn, N_FRAME, 8, 8, 4)), jnp.float32)
+    text = jnp.zeros((bn, 7, ucfg.cross_attention_dim))
+    cam = jnp.zeros((bn, 16))
+    img = jnp.zeros((bn, ucfg.image_embed_dim))
+    out = g.preview(unet_params, vae_decode, vae_params, latents, text, text,
+                    cam, img, t_start=500, key=jax.random.PRNGKey(0),
+                    num_steps=4)
+    assert out.shape == (bn, N_FRAME, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_min_max_step_annealing(guidance_setup):
     g, *_ = guidance_setup
     mn, mx = g.min_max_step(0)
