@@ -55,17 +55,24 @@ def main(argv=None) -> None:
     n_views = cfg.get("num_views", 4)
     n_frames = cfg.get("video_length", 16)
     sample_size = cfg.get("sample_size", 256)
-    lat = sample_size // 8
 
-    ucfg = MVUNetConfig(num_views=n_views)
+    if cfg.get("model_size", "full") == "tiny":  # tests / smoke runs
+        ucfg = MVUNetConfig.tiny(num_views=n_views)
+        vae_cfg = VAEConfig.tiny()
+    else:
+        ucfg = MVUNetConfig(num_views=n_views)
+        vae_cfg = VAEConfig()
     unet = MVMotionUNet(ucfg, dtype=jnp.bfloat16)
-    vae = AutoencoderKL(VAEConfig())
+    vae = AutoencoderKL(vae_cfg)
+    lat = sample_size // (2 ** (len(vae_cfg.block_out_channels) - 1))
+    ctx_dim = ucfg.cross_attention_dim
+    img_dim = ucfg.image_embed_dim
 
     # init
     z0 = jnp.zeros((n_views, 2, lat, lat, 4))
-    t0 = jnp.zeros((n_views, 77, 768))
+    t0 = jnp.zeros((n_views, 77, ctx_dim))
     c0 = jnp.zeros((n_views, 16))
-    i0 = jnp.zeros((n_views, 1024))
+    i0 = jnp.zeros((n_views, img_dim))
     unet_params = jax.jit(unet.init)(jax.random.PRNGKey(cfg.get("global_seed", 42)),
                                      z0, jnp.asarray(0.0), t0, c0, i0)
     vae_params = jax.jit(vae.init)(
@@ -137,19 +144,27 @@ def main(argv=None) -> None:
     max_steps = cfg.get("max_train_steps", cfg.get("max_train_epoch", 20) * max(len(dataset), 1))
     ckpt_every = cfg.get("checkpointing_steps", 1000)
 
-    null_text = jnp.zeros((batch_size * n_views, 77, 768))
+    from animate3d_tpu.utils.saving import save_videos_grid
+
+    null_text = jnp.zeros((batch_size * n_views, 77, ctx_dim))
     for step in range(start_step, max_steps):
         raw = next(it)
         b, n, f = raw["pixel_values"].shape[:3]
+        if step == start_step:
+            # first-batch sanity dump (train.py:496-507)
+            vids = (raw["pixel_values"].reshape(b * n, f, sample_size,
+                                                sample_size, 3) + 1) / 2
+            save_videos_grid(vids, os.path.join(out_dir, "sanity_check.gif"),
+                             n_rows=n)
         imgs = raw["pixel_values"].reshape(b * n * f, sample_size, sample_size, 3)
         latents = vae_encode(vae_params, jnp.asarray(imgs)) * 0.18215
         latents = latents.reshape(b * n, f, lat, lat, 4)
         batch = TrainBatch(
             latents=latents,
-            text_ctx=jnp.zeros((b * n, 77, 768)),  # TODO: CLIP-encode captions
+            text_ctx=jnp.zeros((b * n, 77, ctx_dim)),  # TODO: CLIP-encode captions
             null_text_ctx=null_text[: b * n],
             camera=jnp.asarray(raw["cameras"].reshape(b * n, 16)),
-            image_embeds=jnp.zeros((b * n, 1024)),
+            image_embeds=jnp.zeros((b * n, img_dim)),
         )
         batch = shard_batch(mesh, batch)
         key, sub = jax.random.split(key)
@@ -165,6 +180,14 @@ def main(argv=None) -> None:
         if (step + 1) % ckpt_every == 0 or step + 1 == max_steps:
             save_checkpoint(ckpt_dir, step + 1, {
                 "params": unet_params, "opt_state": opt_state, "step": step + 1})
+            # motion-modules-only export (save_motion_modules parity,
+            # unet_motion_mv_model.py:404-437) — the release-ckpt format
+            from animate3d_tpu.core.checkpoint import extract_motion_modules
+
+            save_checkpoint(os.path.join(out_dir, "motion_modules"), step + 1,
+                            {"params": extract_motion_modules(
+                                unet_params.get("params", unet_params))},
+                            keep=2)
 
 
 if __name__ == "__main__":

@@ -87,6 +87,17 @@ class MVideoDataset:
     def iterate(self, batch_size: int = 1, shuffle: bool = True
                 ) -> Iterator[Dict[str, np.ndarray]]:
         order = np.arange(len(self.items))
+        if len(order) < batch_size:
+            # small datasets: sample with replacement so dp-scaled batches
+            # (train_batch_size × device_count) always fill
+            while True:
+                idxs = self.rng.choice(len(self.items), batch_size, replace=True)
+                samples = [self[int(i)] for i in idxs]
+                yield {
+                    "pixel_values": np.stack([s["pixel_values"] for s in samples]),
+                    "cameras": np.stack([s["cameras"] for s in samples]),
+                    "text": [s["text"] for s in samples],
+                }
         while True:
             if shuffle:
                 self.rng.shuffle(order)
