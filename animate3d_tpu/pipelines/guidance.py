@@ -184,19 +184,32 @@ class AnimateMVGuidance:
         return (imgs / 2 + 0.5).clip(0, 1).reshape(bn, f, *imgs.shape[1:])
 
     def __call__(self, unet_params, vae_params, rgb, text_cond, text_uncond,
-                 c2w, image_embeds, key, global_step: int = 0):
+                 c2w, image_embeds, key, global_step: int = 0, t_range=None):
         """rgb (B·N·F, H, W, 3); c2w (B·N·F, 4, 4) — frame-0 cameras per view
-        are extracted and normalized to the 16-d conditioning."""
+        are extracted and normalized to the 16-d conditioning.
+
+        Under an outer jit, pass ``t_range`` (two traced int scalars) so the
+        annealed timestep bounds stay dynamic instead of baking into the
+        trace (and retriggering compilation every step)."""
         cfg = self.cfg
         bnf = rgb.shape[0]
         bn = bnf // cfg.n_frame
-        c2w_v = c2w.reshape(bn, cfg.n_frame, 4, 4)[:, 0]
-        cam16 = jnp.asarray(
-            normalize_c2w(jnp.asarray(c2w_v)).reshape(bn, 16), jnp.float32)
+        c2w_v = jnp.asarray(c2w).reshape(bn, cfg.n_frame, 4, 4)[:, 0]
+        # unit-sphere camera normalization, traceable (pipeline.py:178-190)
+        t = c2w_v[:, :3, 3]
+        t = t / (jnp.linalg.norm(t, axis=1, keepdims=True) + 1e-8)
+        c2w_v = c2w_v.at[:, :3, 3].set(t)
+        cam16 = c2w_v.reshape(bn, 16).astype(jnp.float32)
 
-        mn, mx = self.min_max_step(global_step)
+        if t_range is None:
+            mn, mx = self.min_max_step(global_step)
+        else:
+            mn, mx = t_range
         key, k_t = jax.random.split(key)
         b = bn // cfg.n_view
-        t_video = jax.random.randint(k_t, (b,), mn, mx + 1)
+        # uniform in [mn, mx] with traceable bounds
+        u = jax.random.uniform(k_t, (b,))
+        t_video = (mn + u * (mx + 1 - mn)).astype(jnp.int32)
+        t_video = jnp.clip(t_video, mn, mx)
         return self._loss(unet_params, vae_params, rgb, text_cond, text_uncond,
                           cam16, image_embeds, t_video, key)

@@ -197,12 +197,17 @@ class Animate3DSystem:
 
     def lambdas(self, step: int) -> Dict[str, jnp.ndarray]:
         lc = self.cfg.loss
-        return {
+        out = {
             k: jnp.float32(C(getattr(lc, k), 0, step))
             for k in ("lambda_rgb", "lambda_mask", "lambda_arap", "lambda_sds",
                       "lambda_position", "lambda_sparsity", "lambda_scales",
                       "lambda_tv_loss")
         }
+        if self.guidance is not None:
+            mn, mx = self.guidance.min_max_step(step)
+            out["g_min_step"] = jnp.int32(mn)
+            out["g_max_step"] = jnp.int32(mx)
+        return out
 
     # -- jitted step ----------------------------------------------------------
 
@@ -304,7 +309,8 @@ class Animate3DSystem:
                     self.guidance_inputs["unet_params"],
                     self.guidance_inputs["vae_params"],
                     gout.rgb, g["text_cond"], g["text_uncond"], g["c2w"],
-                    g["image_embeds"], k_g, self.global_step)
+                    g["image_embeds"], k_g,
+                    t_range=(lambdas["g_min_step"], lambdas["g_max_step"]))
                 loss = loss + lambdas["lambda_sds"] * loss_sds
                 metrics["loss_sds"] = loss_sds
 
