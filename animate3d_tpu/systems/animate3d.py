@@ -172,6 +172,9 @@ class Animate3DSystem:
 
         self._train_step = jax.jit(self._train_step_impl,
                                    static_argnames=("do_guidance",))
+        # the 4D-SDS gradient compiles as its own program: fusing the frozen
+        # SD1.5 UNet into the recon step's graph made tracing/compile blow up
+        self._sds_grad = jax.jit(self._sds_grad_impl)
 
     # -- progressive frame schedule (host-side) ------------------------------
 
@@ -297,30 +300,57 @@ class Animate3DSystem:
             if "lambda_tv_loss" in self.active_terms:
                 loss = loss + lambdas["lambda_tv_loss"] * tv_loss(out.rgb)
 
-            if do_guidance and self.guidance is not None:
-                g = guidance_batch
-                g_deform = make_cached_deform(
-                    params, g["timestamps"][: cfg.n_frame], True)
-                gout = render_batch(
-                    self.state, g_deform, g["cameras"], g["timestamps"],
-                    cfg.renderer, key=None, do_reconstruction=True,
-                    do_guidance=True)
-                loss_sds = self.guidance(
-                    self.guidance_inputs["unet_params"],
-                    self.guidance_inputs["vae_params"],
-                    gout.rgb, g["text_cond"], g["text_uncond"], g["c2w"],
-                    g["image_embeds"], k_g,
-                    t_range=(lambdas["g_min_step"], lambdas["g_max_step"]))
-                loss = loss + lambdas["lambda_sds"] * loss_sds
-                metrics["loss_sds"] = loss_sds
-
             metrics["loss"] = loss
             return loss, metrics
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+        if do_guidance:
+            # gradients add linearly: the SDS grads come from a separately
+            # compiled program (see _sds_grad_impl), passed in here
+            extra_grads = guidance_batch["sds_grads"]
+            grads = jax.tree_util.tree_map(
+                lambda a, b: a + lambdas["lambda_sds"] * b, grads, extra_grads)
+            metrics["loss_sds"] = guidance_batch["loss_sds"]
+            metrics["loss"] = (metrics["loss"]
+                               + lambdas["lambda_sds"] * guidance_batch["loss_sds"])
+
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
+
+    def _sds_grad_impl(self, params, guidance_batch, lambdas, key):
+        """(loss_sds, grads) of the 4D-SDS term — its own compile unit."""
+        cfg = self.cfg
+        g = guidance_batch
+
+        def make_cached_deform(params, frame_ts, deform_scales):
+            deformed = jax.vmap(
+                lambda t: self.field.apply(params, self.state, t, deform_scales,
+                                           method=DeformationField.deform)[:3]
+            )(frame_ts)
+
+            def fn(state, t, _ds):
+                fi = jnp.argmin(jnp.abs(frame_ts - t))
+                return (deformed[0][fi], deformed[1][fi], deformed[2][fi], None)
+
+            return fn
+
+        def sds_loss_fn(params):
+            g_deform = make_cached_deform(params, g["timestamps"][: cfg.n_frame],
+                                          True)
+            gout = render_batch(
+                self.state, g_deform, g["cameras"], g["timestamps"],
+                cfg.renderer, key=None, do_reconstruction=True,
+                do_guidance=True)
+            return self.guidance(
+                self.guidance_inputs["unet_params"],
+                self.guidance_inputs["vae_params"],
+                gout.rgb, g["text_cond"], g["text_uncond"], g["c2w"],
+                g["image_embeds"], key,
+                t_range=(lambdas["g_min_step"], lambdas["g_max_step"]))
+
+        return jax.value_and_grad(sds_loss_fn)(params)
 
     # -- public ---------------------------------------------------------------
 
@@ -354,6 +384,13 @@ class Animate3DSystem:
             frame_w = np.ones((len(active),), np.float32)
         else:
             frame_w = np.asarray(frame_w)
+
+        if do_guidance:
+            key, k_g = jax.random.split(key)
+            loss_sds, sds_grads = self._sds_grad(self.params, guidance_batch,
+                                                 lambdas, k_g)
+            guidance_batch = dict(guidance_batch,
+                                  loss_sds=loss_sds, sds_grads=sds_grads)
 
         self.params, self.opt_state, metrics = self._train_step(
             self.params, self.opt_state, cameras,

@@ -110,6 +110,61 @@ def test_recon_loss_decreases(setup):
     assert np.mean(losses[-5:]) < np.mean(losses[5:10]) * 0.7, losses
 
 
+def test_refine_step_with_guidance(setup):
+    """Stage-2 path: recon grads + separately-compiled SDS grads combine."""
+    import jax.numpy as jnp
+    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+    from animate3d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from animate3d_tpu.pipelines.guidance import AnimateMVGuidance, GuidanceConfig
+
+    state, cams, gs_cams, rcfg, gt = setup
+    ucfg = MVUNetConfig.tiny(num_views=N_VIEW)
+    unet = MVMotionUNet(ucfg)
+    vae = AutoencoderKL(VAEConfig.tiny())
+    lat = jnp.zeros((N_VIEW, N_FRAME, RES // 2, RES // 2, 4))
+    text = jnp.zeros((N_VIEW, 7, ucfg.cross_attention_dim))
+    cam0 = jnp.zeros((N_VIEW, 16))
+    img0 = jnp.zeros((N_VIEW, ucfg.image_embed_dim))
+    unet_params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, jnp.asarray(0.0),
+                                     text, cam0, img0)
+    vae_params = jax.jit(vae.init)(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, RES, RES, 3)))
+
+    def unet_apply(p, l, t, c, cm, ie, i2v_cond_time_zero=False):
+        return unet.apply(p, l, t, c, cm, ie,
+                          i2v_cond_time_zero=i2v_cond_time_zero)
+
+    def vae_encode(p, x):
+        return vae.apply(p, x, method=AutoencoderKL.encode)
+
+    guidance = AnimateMVGuidance(
+        unet_apply, vae_encode,
+        GuidanceConfig(n_view=N_VIEW, n_frame=N_FRAME, image_size=RES))
+
+    sys = make_system(state, rcfg, load_guidance=True)
+    sys.guidance = guidance
+    sys.guidance_inputs = {"unet_params": unet_params, "vae_params": vae_params}
+    sys.cfg.loss.lambda_sds = 0.01
+    sys.active_terms = sys.active_terms  # unchanged
+
+    gb = {
+        "cameras": gs_cams,
+        "timestamps": jnp.asarray(cams["timestamps"]),
+        "c2w": jnp.asarray(cams["c2w"]),
+        "text_cond": text, "text_uncond": text,
+        "image_embeds": img0,
+    }
+    batch = {
+        "gs_cameras": gs_cams,
+        "timestamps": cams["timestamps"],
+        "rgb": np.asarray(gt.rgb),
+        "mask": np.asarray(gt.alpha)[..., None] > 0.5,
+    }
+    m = sys.step(batch, jax.random.PRNGKey(0), guidance_batch=gb)
+    assert np.isfinite(m["loss"])
+    assert "loss_sds" in m and np.isfinite(m["loss_sds"])
+
+
 def test_render_api(setup):
     state, cams, gs_cams, rcfg, gt = setup
     sys = make_system(state, rcfg)
