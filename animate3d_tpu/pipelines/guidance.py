@@ -61,6 +61,9 @@ class AnimateMVGuidance:
         self.cfg = cfg
         self.scheduler = scheduler or DDIMScheduler.create(SchedulerConfig())
         self._loss = jax.jit(self._loss_impl)
+        # (loss, ∂loss/∂rgb) as its own compile unit: the render backward is
+        # excluded, so this program is VAE fwd/bwd + one frozen UNet forward
+        self._pixel_grad = jax.jit(jax.value_and_grad(self._loss_impl, argnums=2))
 
     def min_max_step(self, global_step: int) -> Tuple[int, int]:
         """Timestep-range annealing (update_step, animatemv_guidance.py:767-793)."""
@@ -201,15 +204,31 @@ class AnimateMVGuidance:
         c2w_v = c2w_v.at[:, :3, 3].set(t)
         cam16 = c2w_v.reshape(bn, 16).astype(jnp.float32)
 
+        t_video, key = self._sample_t(key, bn, t_range, global_step)
+        return self._loss(unet_params, vae_params, rgb, text_cond, text_uncond,
+                          cam16, image_embeds, t_video, key)
+
+    def _sample_t(self, key, bn, t_range, global_step):
         if t_range is None:
             mn, mx = self.min_max_step(global_step)
         else:
             mn, mx = t_range
         key, k_t = jax.random.split(key)
-        b = bn // cfg.n_view
-        # uniform in [mn, mx] with traceable bounds
+        b = bn // self.cfg.n_view
         u = jax.random.uniform(k_t, (b,))
-        t_video = (mn + u * (mx + 1 - mn)).astype(jnp.int32)
-        t_video = jnp.clip(t_video, mn, mx)
-        return self._loss(unet_params, vae_params, rgb, text_cond, text_uncond,
-                          cam16, image_embeds, t_video, key)
+        t_video = jnp.clip((mn + u * (mx + 1 - mn)).astype(jnp.int32), mn, mx)
+        return t_video, key
+
+    def pixel_grad(self, unet_params, vae_params, rgb, text_cond, text_uncond,
+                   c2w, image_embeds, key, t_range):
+        """(loss, ∂loss/∂rgb) — callers chain the render VJP themselves so the
+        UNet and the rasterizer never share one XLA program."""
+        cfg = self.cfg
+        bn = rgb.shape[0] // cfg.n_frame
+        c2w_v = jnp.asarray(c2w).reshape(bn, cfg.n_frame, 4, 4)[:, 0]
+        t = c2w_v[:, :3, 3]
+        t = t / (jnp.linalg.norm(t, axis=1, keepdims=True) + 1e-8)
+        cam16 = c2w_v.at[:, :3, 3].set(t).reshape(bn, 16).astype(jnp.float32)
+        t_video, key = self._sample_t(key, bn, t_range, 0)
+        return self._pixel_grad(unet_params, vae_params, rgb, text_cond,
+                                text_uncond, cam16, image_embeds, t_video, key)

@@ -172,9 +172,11 @@ class Animate3DSystem:
 
         self._train_step = jax.jit(self._train_step_impl,
                                    static_argnames=("do_guidance",))
-        # the 4D-SDS gradient compiles as its own program: fusing the frozen
-        # SD1.5 UNet into the recon step's graph made tracing/compile blow up
-        self._sds_grad = jax.jit(self._sds_grad_impl)
+        # the 4D-SDS gradient runs as three separate compile units: fusing
+        # the frozen SD1.5 UNet with the rasterizer backward into one XLA
+        # program made tracing/compile blow up (docs/architecture.md)
+        self._g_render_fwd = jax.jit(self._render_guidance_rgb)
+        self._g_render_vjp = jax.jit(self._sds_render_vjp_impl)
 
     # -- progressive frame schedule (host-side) ------------------------------
 
@@ -319,38 +321,49 @@ class Animate3DSystem:
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
-    def _sds_grad_impl(self, params, guidance_batch, lambdas, key):
-        """(loss_sds, grads) of the 4D-SDS term — its own compile unit."""
+    def _render_guidance_rgb(self, params, guidance_batch):
+        """Guidance-batch renders (fwd). Shared by the fwd pass and the VJP
+        surrogate so the rasterizer never shares a program with the UNet."""
         cfg = self.cfg
         g = guidance_batch
+        frame_ts = g["timestamps"][: cfg.n_frame]
+        deformed = jax.vmap(
+            lambda t: self.field.apply(params, self.state, t, True,
+                                       method=DeformationField.deform)[:3]
+        )(frame_ts)
 
-        def make_cached_deform(params, frame_ts, deform_scales):
-            deformed = jax.vmap(
-                lambda t: self.field.apply(params, self.state, t, deform_scales,
-                                           method=DeformationField.deform)[:3]
-            )(frame_ts)
+        def deform_fn(state, t, _ds):
+            fi = jnp.argmin(jnp.abs(frame_ts - t))
+            return (deformed[0][fi], deformed[1][fi], deformed[2][fi], None)
 
-            def fn(state, t, _ds):
-                fi = jnp.argmin(jnp.abs(frame_ts - t))
-                return (deformed[0][fi], deformed[1][fi], deformed[2][fi], None)
+        return render_batch(
+            self.state, deform_fn, g["cameras"], g["timestamps"],
+            cfg.renderer, key=None, do_reconstruction=True,
+            do_guidance=True).rgb
 
-            return fn
+    def _sds_render_vjp_impl(self, params, guidance_batch, rgb_cotangent):
+        """grads of ⟨render(params), ḡ⟩ — the render-side half of the SDS
+        chain rule (render fwd+bwd only)."""
 
-        def sds_loss_fn(params):
-            g_deform = make_cached_deform(params, g["timestamps"][: cfg.n_frame],
-                                          True)
-            gout = render_batch(
-                self.state, g_deform, g["cameras"], g["timestamps"],
-                cfg.renderer, key=None, do_reconstruction=True,
-                do_guidance=True)
-            return self.guidance(
-                self.guidance_inputs["unet_params"],
-                self.guidance_inputs["vae_params"],
-                gout.rgb, g["text_cond"], g["text_uncond"], g["c2w"],
-                g["image_embeds"], key,
-                t_range=(lambdas["g_min_step"], lambdas["g_max_step"]))
+        def surrogate(params):
+            rgb = self._render_guidance_rgb(params, guidance_batch)
+            return jnp.vdot(rgb, jax.lax.stop_gradient(rgb_cotangent))
 
-        return jax.value_and_grad(sds_loss_fn)(params)
+        return jax.grad(surrogate)(params)
+
+    def sds_gradients(self, params, guidance_batch, lambdas, key):
+        """(loss_sds, param grads) via three modest compile units:
+        render fwd → (VAE+UNet) pixel grad → render VJP."""
+        g = guidance_batch
+        rgb = self._g_render_fwd(params, g)
+        loss_sds, rgb_grad = self.guidance.pixel_grad(
+            self.guidance_inputs["unet_params"],
+            self.guidance_inputs["vae_params"],
+            rgb, g["text_cond"], g["text_uncond"], g["c2w"],
+            g["image_embeds"], key,
+            t_range=(lambdas["g_min_step"], lambdas["g_max_step"]))
+        grads = self._g_render_vjp(params, g, rgb_grad)
+        return loss_sds, grads
 
     # -- public ---------------------------------------------------------------
 
@@ -387,8 +400,8 @@ class Animate3DSystem:
 
         if do_guidance:
             key, k_g = jax.random.split(key)
-            loss_sds, sds_grads = self._sds_grad(self.params, guidance_batch,
-                                                 lambdas, k_g)
+            loss_sds, sds_grads = self.sds_gradients(self.params, guidance_batch,
+                                                     lambdas, k_g)
             guidance_batch = dict(guidance_batch,
                                   loss_sds=loss_sds, sds_grads=sds_grads)
 
