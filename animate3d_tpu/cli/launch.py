@@ -94,7 +94,7 @@ def build_guidance(sys_cfg: Dict[str, Any], acfg):
     g = dict(sys_cfg.get("guidance", {}))
     ucfg = MVUNetConfig(num_views=acfg.n_view)
     unet = MVMotionUNet(ucfg, dtype=jnp.bfloat16)
-    vae = AutoencoderKL(VAEConfig())
+    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)  # half_precision_weights parity
 
     n_frame = g.get("n_frame", acfg.n_frame)
     lat = jnp.zeros((acfg.n_view, 2, 32, 32, 4))
@@ -115,9 +115,14 @@ def build_guidance(sys_cfg: Dict[str, Any], acfg):
         print("[guidance] WARNING: no pretrained_unet_path found — running with "
               "randomly initialized guidance (smoke mode)")
 
+    from animate3d_tpu.ops.attention import attention_backend
+
     def unet_apply(p, lat, t, ctx, cam, ie, i2v_cond_time_zero=False):
-        return unet.apply(p, lat, t, ctx, cam, ie,
-                          i2v_cond_time_zero=i2v_cond_time_zero)
+        # flash attention keeps the guidance UNet's logits out of HBM inside
+        # the pixel-gradient program (docs/architecture.md)
+        with attention_backend("flash"):
+            return unet.apply(p, lat, t, ctx, cam, ie,
+                              i2v_cond_time_zero=i2v_cond_time_zero)
 
     def vae_encode(p, x):
         return vae.apply(p, x, method=AutoencoderKL.encode)

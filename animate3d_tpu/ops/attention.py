@@ -162,6 +162,27 @@ def _flash_supported(q: jnp.ndarray, k: jnp.ndarray, block_k: int = 512) -> bool
     return k.shape[2] % block_k == 0
 
 
+import contextlib
+import threading
+
+_backend_override = threading.local()
+
+
+@contextlib.contextmanager
+def attention_backend(name: str):
+    """Force a backend for every multi_head_attention traced in this scope.
+
+    Used to trace the frozen guidance UNet with the flash kernel: inside a
+    gradient program XLA materializes the XLA path's (S, S) f32 logits (16 GB
+    at S=4096 × 32 batch), while flash never leaves VMEM."""
+    prev = getattr(_backend_override, "name", None)
+    _backend_override.name = name
+    try:
+        yield
+    finally:
+        _backend_override.name = prev
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -171,13 +192,16 @@ def multi_head_attention(
     backend: str = "auto",
 ) -> jnp.ndarray:
     """Merged-head attention: q (B, Sq, C), k/v (B, Sk, C) → (B, Sq, C)."""
+    override = getattr(_backend_override, "name", None)
+    if override is not None and backend == "auto":
+        backend = override
     d = q.shape[-1] // num_heads
     if scale is None:
         scale = d ** -0.5
     qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
     use_flash = False
     if backend == "flash":
-        use_flash = True
+        use_flash = _flash_supported(qh, kh)  # xla fallback for ragged K (77 text tokens etc.)
     elif backend == "auto":
         # XLA attention is faster below ~8k tokens (the flash kernel pads
         # SD1.5's head dims 40/80/160 to the 128-lane width); above that the
