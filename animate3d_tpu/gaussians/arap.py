@@ -68,6 +68,55 @@ def connectivity_from_points(
     return Connectivity(nn_idx=nn_idx.astype(jnp.int32), weight=w)
 
 
+def geodesic_distance_floyd(points: jnp.ndarray, K: int = 8) -> jnp.ndarray:
+    """All-pairs geodesic distances over the KNN graph via Floyd-Warshall
+    (util.py:47-56). O(N³) scan — for small control-node sets."""
+    n = points.shape[0]
+    d, idx = knn(points, points, k=K, exclude_self=True)
+    dist = jnp.full((n, n), jnp.inf)
+    rows = jnp.repeat(jnp.arange(n), K)
+    dist = dist.at[rows, idx.reshape(-1)].set(jnp.sqrt(d.reshape(-1)))
+    dist = jnp.minimum(dist, dist.T)
+
+    def body(dist, i):
+        return jnp.minimum(dist[:, i, None] + dist[None, i, :], dist), None
+
+    dist, _ = jax.lax.scan(body, dist, jnp.arange(n))
+    return dist
+
+
+def connectivity_from_trajectory(
+    trajectory: jnp.ndarray,  # (Nv, F·3) or (Nv, F, 3)
+    radius: float,
+    K: int = 10,
+    least_edge_num: int = 3,
+    mode: str = "nn",
+) -> Connectivity:
+    """Connectivity in trajectory space: neighbors whose whole trajectories
+    stay close (util.py:85-97), optionally through the floyd geodesic graph."""
+    nv = trajectory.shape[0]
+    traj = trajectory.reshape(nv, -1)
+    traj = traj / traj.shape[1]  # average distance normalization (util.py:86)
+    if mode == "floyd":
+        dist = geodesic_distance_floyd(traj) ** 2
+        dist = dist.at[jnp.arange(nv), jnp.arange(nv)].set(jnp.inf)
+        nn_dist, nn_idx = jax.lax.top_k(-dist, K)
+        nn_dist = -nn_dist
+    else:
+        nn_dist, nn_idx = knn(traj, traj, k=K, exclude_self=True)
+
+    keep = jnp.arange(K)[None, :] < least_edge_num
+    valid = keep | (nn_dist < radius ** 2)
+    nn_idx = jnp.where(valid, nn_idx, -1)
+    masked = jnp.where(valid, nn_dist, jnp.inf)
+    finite = jnp.where(jnp.isfinite(masked), masked, 0.0)
+    denom = jnp.sum(finite) / jnp.maximum(jnp.sum(valid), 1)
+    w = jnp.exp(-masked / jnp.maximum(denom, 1e-12))
+    w = jnp.where(valid, w, 0.0)
+    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
+    return Connectivity(nn_idx=nn_idx.astype(jnp.int32), weight=w)
+
+
 def connectivity_from_mesh_edges(
     connected_vertices: Dict[str, Dict[str, float]],
     max_neighbors: Optional[int] = None,

@@ -190,3 +190,31 @@ class TestARAP:
         assert picked.shape == (2, 2)
         assert set(picked[0].tolist()).issubset({1, 2, 3})
         assert picked[1, 0] == 0 and picked[1, 1] == -1
+
+
+class TestARAPVariants:
+    def test_floyd_geodesic_respects_graph(self):
+        import jax.numpy as jnp
+        # points on a line: geodesic distance 0↔3 must be the chain length
+        pts = jnp.asarray([[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0.0]])
+        d = np.asarray(arap.geodesic_distance_floyd(pts, K=1))
+        assert d[0, 1] == pytest.approx(1.0, abs=1e-4)
+        assert d[0, 3] == pytest.approx(3.0, abs=1e-4)
+
+    def test_trajectory_connectivity(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(0)
+        traj = jnp.asarray(rng.normal(size=(20, 4, 3)), jnp.float32)
+        conn = arap.connectivity_from_trajectory(traj, radius=10.0, K=4)
+        assert conn.nn_idx.shape == (20, 4)
+        np.testing.assert_allclose(np.asarray(conn.weight).sum(-1), 1.0,
+                                   atol=1e-5)
+
+    def test_trajectory_connectivity_floyd(self):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(1)
+        traj = jnp.asarray(rng.normal(size=(12, 2, 3)), jnp.float32)
+        conn = arap.connectivity_from_trajectory(traj, radius=10.0, K=3,
+                                                 mode="floyd")
+        assert conn.nn_idx.shape == (12, 3)
+        assert np.all(np.asarray(conn.nn_idx) >= 0)
