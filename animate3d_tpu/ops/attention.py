@@ -94,6 +94,35 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
+def _flash_kernel_wholek(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                         block_k: int):
+    """Single-program variant: the whole K/V lives in VMEM (fastest when it
+    fits — no per-k-block grid revisits of the softmax scratch)."""
+    q = q_ref[0]
+    bq = q.shape[0]
+    sk = k_ref.shape[1]
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
+        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
+        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
+        return acc, m_new, l_new
+
+    d = q.shape[-1]
+    init = (jnp.zeros((bq, d), jnp.float32),
+            jnp.full((bq, 1), -jnp.inf, jnp.float32),
+            jnp.zeros((bq, 1), jnp.float32))
+    acc, m, l = jax.lax.fori_loop(0, sk // block_k, body, init)
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
 def _flash_attention_fwd_impl(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     block_q: int = 256, block_k: int = 512,
@@ -111,6 +140,27 @@ def _flash_attention_fwd_impl(
 
     sq_p = qf.shape[1]
     dp = qf.shape[2]
+
+    # whole-K variant when K/V fit comfortably in VMEM
+    kv_bytes = 2 * sk * dp * kf.dtype.itemsize
+    if kv_bytes <= 4 * 1024 * 1024:
+        out = pl.pallas_call(
+            functools.partial(_flash_kernel_wholek, scale=scale, block_k=block_k),
+            grid=(b * h, sq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+        )(qf, kf, vf)
+        return out[:, :sq, :d].reshape(b, h, sq, d)
+
     grid = (b * h, sq_p // block_q, sk // block_k)
     out = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale),
@@ -203,11 +253,14 @@ def multi_head_attention(
     if backend == "flash":
         use_flash = _flash_supported(qh, kh)  # xla fallback for ragged K (77 text tokens etc.)
     elif backend == "auto":
-        # XLA attention is faster below ~8k tokens (the flash kernel pads
-        # SD1.5's head dims 40/80/160 to the 128-lane width); above that the
-        # S² logits materialization dominates and flash wins
+        # flash when the (B·H, Sq, Sk) logits would be HBM-significant —
+        # XLA materializes them inside larger programs; below that XLA's
+        # unpadded head-dim contractions win (SD1.5 heads are 40/80/160 wide,
+        # which the flash kernel pads to the 128-lane width)
         on_tpu = jax.default_backend() == "tpu"
-        use_flash = on_tpu and q.shape[1] >= 8192 and _flash_supported(qh, kh)
+        logits_bytes = q.shape[0] * num_heads * q.shape[1] * k.shape[1] * 4
+        use_flash = (on_tpu and logits_bytes > 512 * 1024 * 1024
+                     and _flash_supported(qh, kh))
     if use_flash:
         out = _flash_attention(qh, kh, vh, scale)
     else:
