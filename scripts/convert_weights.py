@@ -1,0 +1,177 @@
+#!/usr/bin/env python
+"""Convert the reference's torch checkpoints into an orbax bundle.
+
+Usage (run anywhere the downloads exist; outputs ship to the pod):
+
+  python scripts/convert_weights.py \
+      --mvdream_dir pretrained_models/mvdream-sd1.5 \
+      --motion_adapter_dir pretrained_models/animatediff-motion-adapter-v1-5-2 \
+      --ip_adapter_dir pretrained_models/IP-Adapter \
+      --animate3d_ckpt pretrained_models/animate3d_motion_modules.ckpt \
+      --output converted/
+
+Produces step_0 orbax checkpoints for {unet, vae, text_encoder, image_encoder}
+plus copied tokenizer files, loadable by the CLIs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+
+def find_model_file(d: str, names=("diffusion_pytorch_model.safetensors",
+                                   "diffusion_pytorch_model.bin",
+                                   "model.safetensors", "pytorch_model.bin")):
+    for n in names:
+        p = os.path.join(d, n)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--mvdream_dir", required=True)
+    parser.add_argument("--motion_adapter_dir", default=None)
+    parser.add_argument("--ip_adapter_dir", default=None)
+    parser.add_argument("--animate3d_ckpt", default=None)
+    parser.add_argument("--output", required=True)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from animate3d_tpu.convert.torch_to_flax import (
+        apply_to_flax_params,
+        load_animate3d_motion_checkpoint,
+        load_torch_state_dict,
+        merge_params,
+        torch_to_flax_params,
+    )
+    from animate3d_tpu.core.checkpoint import save_checkpoint
+    from animate3d_tpu.models.clip import (
+        CLIPTextModel,
+        CLIPVisionModelWithProjection,
+    )
+    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+    from animate3d_tpu.models.vae import AutoencoderKL
+
+    os.makedirs(args.output, exist_ok=True)
+
+    # --- UNet: base + motion adapter + ip adapter + trained modules ---
+    ucfg = MVUNetConfig()
+    unet = MVMotionUNet(ucfg)
+    params = jax.jit(unet.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((4, 2, 32, 32, 4)), jnp.asarray(0.0),
+        jnp.zeros((4, 77, 768)), jnp.zeros((4, 16)), jnp.zeros((4, 1024)))
+
+    converted = {}
+    base = find_model_file(os.path.join(args.mvdream_dir, "unet"))
+    assert base, f"no unet weights under {args.mvdream_dir}/unet"
+    converted = torch_to_flax_params(load_torch_state_dict(base))
+    if args.motion_adapter_dir:
+        ma = find_model_file(args.motion_adapter_dir)
+        converted = merge_params(
+            converted, torch_to_flax_params(load_torch_state_dict(ma)))
+    if args.ip_adapter_dir:
+        ip = os.path.join(args.ip_adapter_dir, "models", "ip-adapter_sd15.bin")
+        sd = load_torch_state_dict(ip)
+        # diffusers _load_ip_adapter_weights key mapping: "ip_adapter" block
+        # indexes attn2 processors in unet order; "image_proj" → encoder_hid_proj
+        converted = merge_params(converted, convert_ip_adapter(sd, ucfg))
+    params, missing, unexpected = apply_to_flax_params(params, converted)
+    print(f"[unet] missing={len(missing)} unexpected={len(unexpected)}")
+    if args.animate3d_ckpt:
+        params, n_missing = load_animate3d_motion_checkpoint(params,
+                                                             args.animate3d_ckpt)
+        print(f"[unet] animate3d motion ckpt loaded; frozen keys: {n_missing}")
+    save_checkpoint(os.path.join(args.output, "unet"), 0, params)
+
+    # --- VAE ---
+    vae = AutoencoderKL()
+    vparams = jax.jit(vae.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    vfile = find_model_file(os.path.join(args.mvdream_dir, "vae"))
+    vparams, m, u = apply_to_flax_params(
+        vparams, torch_to_flax_params(load_torch_state_dict(vfile)))
+    print(f"[vae] missing={len(m)} unexpected={len(u)}")
+    save_checkpoint(os.path.join(args.output, "vae"), 0, vparams)
+
+    # --- text encoder + tokenizer ---
+    te_file = find_model_file(os.path.join(args.mvdream_dir, "text_encoder"))
+    if te_file:
+        text = CLIPTextModel()
+        tparams = jax.jit(text.init)(jax.random.PRNGKey(0),
+                                     jnp.zeros((1, 77), jnp.int32))
+        tparams, m, u = apply_to_flax_params(
+            tparams, torch_to_flax_params(load_torch_state_dict(te_file)))
+        print(f"[text_encoder] missing={len(m)} unexpected={len(u)}")
+        save_checkpoint(os.path.join(args.output, "text_encoder"), 0, tparams)
+        tok_dir = os.path.join(args.mvdream_dir, "tokenizer")
+        if os.path.isdir(tok_dir):
+            shutil.copytree(tok_dir, os.path.join(args.output, "tokenizer"),
+                            dirs_exist_ok=True)
+
+    # --- IP-Adapter image encoder ---
+    if args.ip_adapter_dir:
+        ie_file = find_model_file(
+            os.path.join(args.ip_adapter_dir, "models", "image_encoder"))
+        if ie_file:
+            vision = CLIPVisionModelWithProjection()
+            iparams = jax.jit(vision.init)(jax.random.PRNGKey(0),
+                                           jnp.zeros((1, 224, 224, 3)))
+            iparams, m, u = apply_to_flax_params(
+                iparams, torch_to_flax_params(load_torch_state_dict(ie_file)))
+            print(f"[image_encoder] missing={len(m)} unexpected={len(u)}")
+            save_checkpoint(os.path.join(args.output, "image_encoder"), 0, iparams)
+
+    print(f"converted weights written to {args.output}")
+
+
+def convert_ip_adapter(sd, ucfg):
+    """ip-adapter_sd15.bin → flax subtrees.
+
+    The file has {"image_proj": {...}, "ip_adapter": {"1.to_k_ip.weight", ...}}
+    where the integer prefix walks the UNet's attn2 processors in diffusers
+    iteration order (down blocks → up blocks → mid)."""
+    from animate3d_tpu.convert.torch_to_flax import convert_leaf
+
+    # attn2 module paths in diffusers' attn_processors iteration order
+    order = []
+    n_blocks = len(ucfg.block_out_channels)
+    for i in range(n_blocks - 1):  # cross-attn down blocks
+        for j in range(ucfg.layers_per_block):
+            order.append(f"down_blocks_{i}_attentions_{j}")
+    for i in range(1, n_blocks):  # cross-attn up blocks
+        for j in range(ucfg.layers_per_block + 1):
+            order.append(f"up_blocks_{i}_attentions_{j}")
+    order.append("mid_block_attentions_0")
+
+    tree = {}
+    for name, value in sd.items():
+        parts = name.split(".")
+        if parts[0] == "image_proj":
+            path = ["encoder_hid_proj_0",
+                    {"proj": "image_embeds", "norm": "norm"}[parts[1]]]
+            full, v = convert_leaf(path, parts[-1], value)
+        elif parts[0] == "ip_adapter":
+            # attn2 processors appear at every *odd* index (attn1 processors
+            # interleave in diffusers' ordering): 1, 3, 5, ...
+            proc_idx = int(parts[1])
+            attn_idx = proc_idx // 2
+            block = order[attn_idx]
+            path = [block, "transformer_blocks_0", "attn2", parts[2]]
+            full, v = convert_leaf(path, parts[-1], value)
+        else:
+            continue
+        node = tree
+        for k in full[:-1]:
+            node = node.setdefault(k, {})
+        node[full[-1]] = v
+    return tree
+
+
+if __name__ == "__main__":
+    main()
