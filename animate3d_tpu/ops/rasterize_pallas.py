@@ -85,7 +85,7 @@ def composite_tiles_pallas(
     tile: int = 16,
     alpha_min: float = 1.0 / 255.0,
     alpha_max: float = 0.99,
-    tiles_per_program: int = 8,
+    tiles_per_program: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """→ (T, 8, PX) channel planes [r, g, b, alpha, depth, T_final, 0, 0]."""
@@ -179,21 +179,14 @@ def _composite_bwd_kernel(origins_ref, records_ref, tfinal_ref, cot_ref,
         dcb_col = gb * w_k
         ddep = gd * w_k
 
-        def rsum(v):
-            return jnp.sum(v, axis=1)
-
-        grad_ref[:, k, 0] = rsum(dxr)
-        grad_ref[:, k, 1] = rsum(dyr)
-        grad_ref[:, k, 2] = rsum(dca)
-        grad_ref[:, k, 3] = rsum(dcb)
-        grad_ref[:, k, 4] = rsum(dcc)
-        grad_ref[:, k, 5] = rsum(dop)
-        grad_ref[:, k, 6] = rsum(dcr)
-        grad_ref[:, k, 7] = rsum(dcg)
-        grad_ref[:, k, 8] = rsum(dcb_col)
-        grad_ref[:, k, 9] = rsum(ddep)
-        grad_ref[:, k, 10] = jnp.zeros((g,), jnp.float32)
-        grad_ref[:, k, 11] = jnp.zeros((g,), jnp.float32)
+        zero = jnp.zeros((g, PX), jnp.float32)
+        # one reduction + one write per step: stack the 12 field terms on the
+        # sublane axis (G·12, PX), reduce lanes once, store (G, 12)
+        stacked = jnp.concatenate(
+            [dxr, dyr, dca, dcb, dcc, dop, dcr, dcg, dcb_col, ddep, zero, zero],
+            axis=0)  # (12·G, PX)
+        reduced = jnp.sum(stacked, axis=1).reshape(RECORD, g).T  # (G, RECORD)
+        grad_ref[:, k, :] = reduced
 
         return S + dw * w_k, T_k
 
@@ -211,7 +204,7 @@ def composite_tiles_pallas_bwd(
     tile: int = 16,
     alpha_min: float = 1.0 / 255.0,
     alpha_max: float = 0.99,
-    tiles_per_program: int = 8,
+    tiles_per_program: int = 16,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """→ grad records (T, K, RECORD)."""
