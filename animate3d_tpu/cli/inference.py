@@ -1,17 +1,24 @@
 """MV-VDM sampling CLI (reference inference.py parity).
 
-Builds the Flax MV motion UNet + VAE (+ CLIP text encoder when a tokenizer
-vocab is available), loads converted weights if provided, and runs the
+Builds the Flax MV motion UNet + VAE (+ CLIP text/image encoders when
+converted weights are available), loads converted weights, and runs the
 jit-scanned DDIM/CFG/FreeInit sampler on the 4 conditioning renders,
 exporting the horizontal 4-view GIF.
 
 Weight inputs (all optional; random init otherwise, for smoke runs):
-  * --flax_params: orbax checkpoint of {unet, vae, text_encoder, image_encoder}
+  * --flax_params: converted-weights bundle directory
+    (scripts/convert_weights.py output: orbax checkpoints for
+    {unet, vae, text_encoder, image_encoder} + copied tokenizer files) —
+    the TPU equivalent of the reference's from_pretrained stack
+    (inference.py:61-87);
   * --pretrained_unet_path: torch animate3d_motion_modules.ckpt (converted
-    on the fly; mirrors the reference's strict=False load + key audit).
-Text conditioning comes from --prompt (tokenizer required) or
---prompt_embeds_path (npz with cond/uncond arrays, the cached-prompt-processor
-path).
+    on the fly; mirrors the reference's strict=False load + key audit,
+    inference.py:214-223).
+Text conditioning comes from --prompt through the bundled tokenizer + text
+encoder when loaded, from --prompt_embeds_path (npz with cond/uncond arrays,
+the cached-prompt-processor path) otherwise. IP-Adapter image conditioning is
+CLIP-encoded from the 4 conditioning renders when the image encoder is loaded
+(pipeline.py:527-538); zeros only in explicitly-flagged smoke mode.
 """
 
 from __future__ import annotations
@@ -21,6 +28,14 @@ import os
 from typing import Optional
 
 import numpy as np
+
+
+from animate3d_tpu.models.factory import (  # noqa: F401 (re-exported API)
+    build_models,
+    encode_text,
+    has_tokenizer as _has_tokenizer,
+    init_and_load,
+)
 
 
 def main(argv=None) -> None:
@@ -33,8 +48,11 @@ def main(argv=None) -> None:
     parser.add_argument("--save_name", default="sample")
     parser.add_argument("--output_dir", default="outputs/inference")
     parser.add_argument("--pretrained_unet_path", default=None)
-    parser.add_argument("--flax_params", default=None)
+    parser.add_argument("--flax_params", default=None,
+                        help="converted-weights bundle dir (convert_weights.py)")
     parser.add_argument("--prompt_embeds_path", default=None)
+    parser.add_argument("--model_size", default=None, choices=[None, "full", "tiny"],
+                        help="tiny = smoke/test scale (overrides config)")
     parser.add_argument("-W", type=int, default=256)
     parser.add_argument("-H", type=int, default=256)
     parser.add_argument("-L", type=int, default=16)
@@ -55,9 +73,9 @@ def main(argv=None) -> None:
     import jax.numpy as jnp
     from PIL import Image
 
-    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
-    from animate3d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from animate3d_tpu.models.clip import encode_ip_adapter_images
     from animate3d_tpu.models.diffusion import DDIMScheduler, SchedulerConfig
+    from animate3d_tpu.models.vae import AutoencoderKL
     from animate3d_tpu.pipelines.mv_sampler import (
         MVSampler,
         MVSamplerConfig,
@@ -66,28 +84,13 @@ def main(argv=None) -> None:
     )
     from animate3d_tpu.utils.saving import export_to_gif_mv
 
-    # 1. models
-    ucfg = MVUNetConfig(num_views=args.N)
-    unet = MVMotionUNet(ucfg, dtype=jnp.bfloat16)
-    vae = AutoencoderKL(VAEConfig())
-
-    lat = jnp.zeros((args.N, 2, args.H // 8, args.W // 8, 4))
-    text0 = jnp.zeros((args.N, 77, 768))
-    cam0 = jnp.zeros((args.N, 16))
-    img0 = jnp.zeros((args.N, 1024))
-    unet_params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, jnp.asarray(0.0),
-                                     text0, cam0, img0)
-    vae_params = jax.jit(vae.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, args.H, args.W, 3)))
-
-    if args.pretrained_unet_path and os.path.exists(args.pretrained_unet_path):
-        from animate3d_tpu.convert.torch_to_flax import load_animate3d_motion_checkpoint
-
-        unet_params, n_missing = load_animate3d_motion_checkpoint(
-            unet_params, args.pretrained_unet_path)
-        print(f"loaded motion checkpoint; missing (frozen) keys: {n_missing}")
-    else:
-        print("WARNING: no UNet weights given — random init (smoke mode)")
+    # 1. models + weights
+    model_size = args.model_size or cfg_yaml.get("model_size", "full")
+    unet, vae, text_model, vision_model = build_models(model_size, args.N)
+    (unet_params, vae_params, text_params, vision_params,
+     loaded) = init_and_load(unet, vae, text_model, vision_model,
+                             args.H, args.W, args.N,
+                             args.flax_params, args.pretrained_unet_path)
 
     # 2. conditioning images (the static 4-view renders)
     def load_cond(i):
@@ -100,18 +103,27 @@ def main(argv=None) -> None:
     cond_images = np.stack([load_cond(i) for i in range(args.N)])
 
     # 3. text + image conditioning
+    ctx_dim = unet.config.cross_attention_dim
     if args.prompt_embeds_path:
         z = np.load(args.prompt_embeds_path)
         text_cond = jnp.asarray(np.tile(z["cond"][None], (args.N, 1, 1)))
         text_uncond = jnp.asarray(np.tile(z["uncond"][None], (args.N, 1, 1)))
+    elif text_params is not None and _has_tokenizer(args.flax_params):
+        text_cond, text_uncond = encode_text(
+            args.prompt, "", args.N, text_model, text_params, args.flax_params)
     else:
         from animate3d_tpu.models.prompt_processor import encode_prompt_or_zeros
 
         text_cond, text_uncond = encode_prompt_or_zeros(
-            args.prompt, "", args.N, hidden_size=768)
+            args.prompt, "", args.N, hidden_size=ctx_dim)
 
-    # IP image embeds: CLIP ViT-H when weights are present, else zeros
-    image_embeds = jnp.zeros((args.N, 1024))
+    if vision_params is not None:
+        image_embeds = encode_ip_adapter_images(
+            vision_model, vision_params, jnp.asarray(cond_images))
+        image_embeds = image_embeds.astype(jnp.float32)
+    else:
+        print("[ip] WARNING: no image encoder — zero image embeds (smoke mode)")
+        image_embeds = jnp.zeros((args.N, unet.config.image_embed_dim))
 
     # 4. sample
     def unet_apply(p, lat, t, ctx, cam, ie, i2v_cond_time_zero=False):
@@ -132,6 +144,7 @@ def main(argv=None) -> None:
         num_inference_steps=cfg_yaml.get("steps", args.steps),
         guidance_scale=cfg_yaml.get("guidance_scale", args.guidance_scale),
         num_views=args.N, num_frames=args.L, height=args.H, width=args.W,
+        vae_scale_factor=2 ** (len(vae.config.block_out_channels) - 1),
         freeinit_enabled=cfg_yaml.get("freeinit_enabled", True),
         freeinit_num_iters=cfg_yaml.get("freeinit_num_iters", args.freeinit_iters),
         i2v_cond_time_zero=cfg_yaml.get("i2v_cond_time_zero", False),

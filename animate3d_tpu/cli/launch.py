@@ -23,159 +23,70 @@ import numpy as np
 
 
 def build_system(cfg, seed: int = 0):
-    import jax
-    from animate3d_tpu.core.config import parse_structured
-    from animate3d_tpu.gaussians.deform import DeformConfig
-    from animate3d_tpu.rendering.renderer4d import Renderer4DConfig
-    from animate3d_tpu.systems.animate3d import (
-        Animate3DConfig,
-        Animate3DSystem,
-        LossConfig,
-    )
+    """Dispatch ``system_type`` through the module registry (the reference's
+    ``threestudio.find(cfg.system_type)(cfg.system)``, launch.py:170)."""
+    import animate3d_tpu.systems.animate3d  # noqa: F401 — registers the system
+    from animate3d_tpu.core.registry import find
 
-    sys_cfg = cfg.system
-    geo = dict(sys_cfg.get("geometry", {}))
-    load_ply = dict(geo.get("load_ply_cfg", {}))
-    grid_size = tuple(tuple(g) for g in geo.get("grid_size",
-                                                ((50, 50, 50, 8), (100, 100, 100, 16))))
-    renderer = dict(sys_cfg.get("renderer", {}))
-    loss = {k: v for k, v in dict(sys_cfg.get("loss", {})).items()
-            if k in LossConfig.__dataclass_fields__}
-
-    acfg = Animate3DConfig(
-        n_view=sys_cfg.get("n_view", 4),
-        n_frame=sys_cfg.get("n_frame", 16),
-        progressive_iter_per_frame=sys_cfg.get("progressive_iter_per_frame", 50),
-        sample_strategy=sys_cfg.get("sample_strategy", "normal"),
-        load_guidance=sys_cfg.get("load_guidance", False),
-        geometry_convert_from=geo.get("geometry_convert_from", ""),
-        rot_x_degree=load_ply.get("rot_x_degree", 0.0),
-        rot_z_degree=load_ply.get("rot_z_degree", 0.0),
-        scale_factor=load_ply.get("scale_factor", 1.0),
-        connected_vertices_info_path=sys_cfg.get("connected_vertices_info_path", ""),
-        delta_xyz_network_lr=geo.get("delta_xyz_network_lr", 1e-4),
-        delta_rot_network_lr=geo.get("delta_rot_network_lr", 1e-4),
-        delta_scaling_network_lr=geo.get("delta_scaling_network_lr", 1e-4),
-        grid_lr=geo.get("grid_lr", 0.01),
-        global_trans_lr=geo.get("global_trans_lr", 1e-3),
-        deform=DeformConfig(
-            grid_sizes=grid_size,
-            grid_feature_dim=geo.get("n_grid_dims", 16),
-            use_global_trans=geo.get("use_global_trans", False),
-        ),
-        renderer=Renderer4DConfig(
-            height=cfg.data.get("height", 256),
-            width=cfg.data.get("width", 256),
-            back_ground_color=tuple(renderer.get("back_ground_color", (1, 1, 1))),
-            invert_bg_prob=renderer.get("invert_bg_prob", 1.0),
-            first_frame_trainable=renderer.get("first_frame_trainable", False),
-        ),
-        loss=parse_structured(LossConfig, loss),
-    )
-
-    guidance = None
-    guidance_inputs = None
-    if acfg.load_guidance:
-        guidance, guidance_inputs = build_guidance(sys_cfg, acfg)
-    import jax
-
-    return Animate3DSystem(acfg, key=jax.random.PRNGKey(seed), guidance=guidance,
-                           guidance_inputs=guidance_inputs)
+    cls = find(cfg.system_type or "gaussian-splatting-animate3d-system")
+    return cls.from_config(cfg, seed=seed)
 
 
-def build_guidance(sys_cfg: Dict[str, Any], acfg):
-    """Frozen MV-VDM + VAE for 4D-SDS (requires converted weights on disk)."""
+def load_system_weights(cfg, system) -> None:
+    """Stage chaining: ``system.weights`` restores the deformation-field
+    params from a previous stage's checkpoint (refine loads the recon ckpt;
+    reference README.md:198, threestudio/systems/base.py:49-54)."""
+    weights = cfg.system.get("weights")
+    if not weights:
+        return
     import jax
     import jax.numpy as jnp
-    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
-    from animate3d_tpu.models.vae import AutoencoderKL, VAEConfig
-    from animate3d_tpu.pipelines.guidance import AnimateMVGuidance, GuidanceConfig
 
-    g = dict(sys_cfg.get("guidance", {}))
-    ucfg = MVUNetConfig(num_views=acfg.n_view)
-    unet = MVMotionUNet(ucfg, dtype=jnp.bfloat16)
-    vae = AutoencoderKL(VAEConfig(), dtype=jnp.bfloat16)  # half_precision_weights parity
-
-    n_frame = g.get("n_frame", acfg.n_frame)
-    lat = jnp.zeros((acfg.n_view, 2, 32, 32, 4))
-    text = jnp.zeros((acfg.n_view, 77, 768))
-    cam = jnp.zeros((acfg.n_view, 16))
-    img = jnp.zeros((acfg.n_view, 1024))
-    unet_params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, jnp.asarray(0.0),
-                                     text, cam, img)
-    vae_params = jax.jit(vae.init)(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
-
-    ckpt = g.get("pretrained_unet_path")
-    if ckpt and os.path.exists(ckpt):
-        from animate3d_tpu.convert.torch_to_flax import load_animate3d_motion_checkpoint
-
-        unet_params, n_missing = load_animate3d_motion_checkpoint(unet_params, ckpt)
-        print(f"[guidance] loaded {ckpt}; {n_missing} frozen keys kept at init")
-    else:
-        print("[guidance] WARNING: no pretrained_unet_path found — running with "
-              "randomly initialized guidance (smoke mode)")
-
-    from animate3d_tpu.ops.attention import attention_backend
-
-    def unet_apply(p, lat, t, ctx, cam, ie, i2v_cond_time_zero=False):
-        # flash attention keeps the guidance UNet's logits out of HBM inside
-        # the pixel-gradient program (docs/architecture.md)
-        with attention_backend("flash"):
-            return unet.apply(p, lat, t, ctx, cam, ie,
-                              i2v_cond_time_zero=i2v_cond_time_zero)
-
-    def vae_encode(p, x):
-        return vae.apply(p, x, method=AutoencoderKL.encode)
-
-    gcfg = GuidanceConfig(
-        guidance_scale=g.get("guidance_scale", 5.0),
-        n_view=g.get("n_view", acfg.n_view),
-        n_frame=n_frame,
-        recon_std_rescale=g.get("recon_std_rescale", 0.25),
-        min_step_percent=g.get("min_step_percent", 0.02),
-        max_step_percent=g.get("max_step_percent", 0.2),
-        i2v_cond_time_zero=g.get("model_config", {}).get("i2v_cond_time_zero", False),
+    from animate3d_tpu.core.checkpoint import (
+        find_latest_checkpoint,
+        restore_checkpoint_raw,
     )
-    guidance = AnimateMVGuidance(unet_apply, vae_encode, gcfg)
 
-    # conditioning for the SDS batch (one video = n_view rows). Text comes
-    # from the cached prompt processor when available, zeros otherwise.
-    bn = acfg.n_view
-    pp = dict(sys_cfg.get("prompt_processor", {}))
-    from animate3d_tpu.models.prompt_processor import encode_prompt_or_zeros
-
-    text_cond, text_uncond = encode_prompt_or_zeros(
-        pp.get("prompt", ""), pp.get("negative_prompt", ""), bn)
-    inputs = {
-        "unet_params": unet_params,
-        "vae_params": vae_params,
-        "text_cond": text_cond,
-        "text_uncond": text_uncond,
-        "image_embeds": jnp.zeros((bn, ucfg.image_embed_dim)),
-    }
-    return guidance, inputs
+    path = weights
+    if not os.path.basename(path).startswith("step_"):
+        path = find_latest_checkpoint(path)
+    if path is None or not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"system.weights={weights!r}: no checkpoint found — run the "
+            f"stage-1 reconstruction first (README pipeline order)")
+    raw = restore_checkpoint_raw(path)
+    # graft params only (the previous stage's optimizer state is not carried
+    # across stages, matching the reference's load_weights state-dict load)
+    system.params = jax.tree_util.tree_map(
+        lambda tpl, src: jnp.asarray(src, tpl.dtype), system.params,
+        raw["params"])
+    print(f"[weights] restored system weights from {path}")
 
 
 def run_train(cfg, system, args) -> None:
     import jax
     import jax.numpy as jnp
     from animate3d_tpu.core.checkpoint import save_checkpoint
+    from animate3d_tpu.core.registry import find
     from animate3d_tpu.data.cameras import gs_cameras_from_batch
-    from animate3d_tpu.data.multi_image import MultiImageConfig, MultiImageDataset
-    from animate3d_tpu.core.config import parse_structured
-    from animate3d_tpu.data.cameras import RandomCameraConfig
+    import animate3d_tpu.data.multi_image  # noqa: F401 — registers datamodule
     from animate3d_tpu.utils.logging import MetricsLogger, StepTimer
 
-    data_cfg_dict = {k: v for k, v in cfg.data.items()
-                     if k in MultiImageConfig.__dataclass_fields__}
-    rc = data_cfg_dict.get("random_camera")
-    if isinstance(rc, dict):
-        data_cfg_dict["random_camera"] = parse_structured(
-            RandomCameraConfig,
-            {k: v for k, v in rc.items()
-             if k in RandomCameraConfig.__dataclass_fields__})
-    dcfg = parse_structured(MultiImageConfig, data_cfg_dict)
-    dataset = MultiImageDataset(dcfg, seed=cfg.seed)
+    data_cls = find(cfg.data_type or "simple-multi-image-datamodule")
+    dataset = data_cls.from_config(cfg.data, seed=cfg.seed)
+
+    # multi-chip: `trainer.mesh_dp=N` (CLI dotted override or yaml) shards
+    # the view·frame batch over a dp mesh, params replicated; XLA inserts the
+    # gradient psum over ICI (SURVEY §2.3 — replaces Lightning DDP)
+    mesh = None
+    mesh_dp = int(cfg.trainer.get("mesh_dp", 0) or 0)
+    if mesh_dp > 1:
+        from animate3d_tpu.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh(dp=mesh_dp, devices=jax.devices()[:mesh_dp])
+        system.params = replicate(mesh, system.params)
+        system.opt_state = replicate(mesh, system.opt_state)
+        print(f"[mesh] dp={mesh_dp} over {mesh_dp} devices")
 
     max_steps = cfg.trainer.get("max_steps", 800)
     ckpt_every = cfg.checkpoint.get("every_n_train_steps", max_steps)
@@ -186,8 +97,13 @@ def run_train(cfg, system, args) -> None:
 
     key = jax.random.PRNGKey(cfg.seed)
     raw = dataset.batch(0)
+    gs_cams = gs_cameras_from_batch(raw)
+    if mesh is not None:
+        from animate3d_tpu.parallel.mesh import shard_batch
+
+        gs_cams = shard_batch(mesh, gs_cams)
     batch = {
-        "gs_cameras": gs_cameras_from_batch(raw),
+        "gs_cameras": gs_cams,
         "timestamps": raw["timestamps"],
         "rgb": raw["rgb"],
         "mask": raw["mask"].astype(np.float32),
@@ -305,6 +221,7 @@ def main(argv=None) -> None:
 
     system = build_system(cfg, seed=cfg.seed)
     if args.train:
+        load_system_weights(cfg, system)
         run_train(cfg, system, args)
         run_test(cfg, system, args)
     elif args.test or args.validate or args.export:

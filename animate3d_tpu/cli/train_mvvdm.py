@@ -56,27 +56,24 @@ def main(argv=None) -> None:
     n_frames = cfg.get("video_length", 16)
     sample_size = cfg.get("sample_size", 256)
 
-    if cfg.get("model_size", "full") == "tiny":  # tests / smoke runs
-        ucfg = MVUNetConfig.tiny(num_views=n_views)
-        vae_cfg = VAEConfig.tiny()
-    else:
-        ucfg = MVUNetConfig(num_views=n_views)
-        vae_cfg = VAEConfig()
-    unet = MVMotionUNet(ucfg, dtype=jnp.bfloat16)
-    vae = AutoencoderKL(vae_cfg)
+    from animate3d_tpu.cli.inference import build_models, init_and_load
+
+    model_size = cfg.get("model_size", "full")
+    unet, vae, text_model, vision_model = build_models(
+        model_size, n_views, dtype=jnp.bfloat16)
+    ucfg = unet.config
+    vae_cfg = vae.config
     lat = sample_size // (2 ** (len(vae_cfg.block_out_channels) - 1))
     ctx_dim = ucfg.cross_attention_dim
     img_dim = ucfg.image_embed_dim
 
-    # init
-    z0 = jnp.zeros((n_views, 2, lat, lat, 4))
-    t0 = jnp.zeros((n_views, 77, ctx_dim))
-    c0 = jnp.zeros((n_views, 16))
-    i0 = jnp.zeros((n_views, img_dim))
-    unet_params = jax.jit(unet.init)(jax.random.PRNGKey(cfg.get("global_seed", 42)),
-                                     z0, jnp.asarray(0.0), t0, c0, i0)
-    vae_params = jax.jit(vae.init)(
-        jax.random.PRNGKey(0), jnp.zeros((1, sample_size, sample_size, 3)))
+    # init + converted-weights bundle (train.py:191-322 builds the full
+    # pretrained stack; the bundle comes from scripts/convert_weights.py)
+    (unet_params, vae_params, text_params, vision_params,
+     loaded) = init_and_load(unet, vae, text_model, vision_model,
+                             sample_size, sample_size, n_views,
+                             cfg.get("flax_params_dir"), None,
+                             seed=cfg.get("global_seed", 42))
 
     base = cfg.get("pretrained_model_path")
     if base and os.path.isdir(base):
@@ -136,7 +133,52 @@ def main(argv=None) -> None:
     batch_size = cfg.get("train_batch_size", 1) * max(jax.device_count(), 1)
     it = dataset.iterate(batch_size=batch_size)
 
-    vae_encode = jax.jit(lambda p, x: vae.apply(p, x, method=AutoencoderKL.encode_mode))
+    # posterior *sample* (train.py:527 .sample() — not .mode(), which the
+    # sampling pipeline uses for conditioning)
+    def _vae_sample(p, x, k):
+        mean, logvar = vae.apply(p, x, method=AutoencoderKL.encode)
+        return mean + jnp.exp(0.5 * logvar) * jax.random.normal(k, mean.shape)
+
+    vae_encode = jax.jit(_vae_sample)
+
+    # caption → CLIP text embeddings, cached per prompt (train.py:459-493);
+    # zeros fallback only when no text tower is loaded
+    encode_captions = None
+    null_ctx_row = None
+    if text_params is not None:
+        from animate3d_tpu.utils.tokenizer import ClipTokenizer, find_tokenizer_files
+
+        try:
+            tok_files = find_tokenizer_files(cfg.get("flax_params_dir", ""))
+        except FileNotFoundError:
+            tok_files = None
+        if tok_files:
+            tokenizer = ClipTokenizer(*tok_files, max_length=77)
+            text_apply = jax.jit(text_model.apply)
+            _cap_cache = {}
+
+            def encode_captions(texts):
+                missing = sorted({t for t in texts if t not in _cap_cache})
+                if missing:
+                    embs = np.asarray(text_apply(text_params,
+                                                 jnp.asarray(tokenizer(missing))))
+                    _cap_cache.update(zip(missing, embs))
+                return np.stack([_cap_cache[t] for t in texts])
+
+            null_ctx_row = encode_captions([""])[0]
+    if encode_captions is None:
+        print("[text] WARNING: no text encoder/tokenizer — zero text "
+              "conditioning (smoke mode)")
+
+    # IP-Adapter frame-0 image embeds (train.py:518-522)
+    encode_frame0 = None
+    if vision_params is not None:
+        from animate3d_tpu.models.clip import encode_ip_adapter_images
+
+        encode_frame0 = jax.jit(lambda imgs: encode_ip_adapter_images(
+            vision_model, vision_params, imgs))
+    else:
+        print("[ip] WARNING: no image encoder — zero image embeds (smoke mode)")
 
     logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
     timer = StepTimer()
@@ -157,14 +199,30 @@ def main(argv=None) -> None:
             save_videos_grid(vids, os.path.join(out_dir, "sanity_check.gif"),
                              n_rows=n)
         imgs = raw["pixel_values"].reshape(b * n * f, sample_size, sample_size, 3)
-        latents = vae_encode(vae_params, jnp.asarray(imgs)) * 0.18215
+        key, k_vae = jax.random.split(key)
+        latents = vae_encode(vae_params, jnp.asarray(imgs), k_vae) * 0.18215
         latents = latents.reshape(b * n, f, lat, lat, 4)
+        if encode_captions is not None:
+            # one caption per video, repeated across its views (view-major)
+            cap = encode_captions(list(raw["text"]))
+            text_ctx = jnp.asarray(np.repeat(cap, n, axis=0))
+            null_ctx = jnp.asarray(np.tile(null_ctx_row[None], (b * n, 1, 1)))
+        else:
+            text_ctx = jnp.zeros((b * n, 77, ctx_dim))
+            null_ctx = null_text[: b * n]
+        if encode_frame0 is not None:
+            frame0 = jnp.asarray(
+                raw["pixel_values"][:, :, 0].reshape(b * n, sample_size,
+                                                     sample_size, 3))
+            image_embeds = encode_frame0((frame0 + 1.0) / 2.0).astype(jnp.float32)
+        else:
+            image_embeds = jnp.zeros((b * n, img_dim))
         batch = TrainBatch(
             latents=latents,
-            text_ctx=jnp.zeros((b * n, 77, ctx_dim)),  # TODO: CLIP-encode captions
-            null_text_ctx=null_text[: b * n],
+            text_ctx=text_ctx,
+            null_text_ctx=null_ctx,
             camera=jnp.asarray(raw["cameras"].reshape(b * n, 16)),
-            image_embeds=jnp.zeros((b * n, img_dim)),
+            image_embeds=image_embeds,
         )
         batch = shard_batch(mesh, batch)
         key, sub = jax.random.split(key)

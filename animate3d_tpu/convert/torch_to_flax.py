@@ -228,6 +228,33 @@ def apply_to_flax_params(flax_params: Dict[str, Any],
     return ({"params": out} if "params" in flax_params else out), missing, unexpected
 
 
+def adapter_init_parity(flax_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Install-time adapter initialization (reference inference.py:160-168).
+
+    In every spatial attn1 with the MVDream-I2V branch, ``to_q_i2v`` starts as
+    a copy of the frozen ``to_q`` (``to_out_i2v`` is zero-initialized inside
+    the module, so the branch is an exact no-op at init either way — the copy
+    matters for how the branch *trains*). Motion-module adapters
+    (``to_*_sp``/``to_*_i2v`` of the spatiotemporal processor) keep their
+    fresh init, matching the reference's processor __init__
+    (attention_processor.py:490-540)."""
+
+    def walk(node, path=()):
+        if not isinstance(node, dict):
+            return node
+        out = {k: walk(v, path + (k,)) for k, v in node.items()}
+        if ("to_q" in out and "to_q_i2v" in out
+                and not any("motion_modules" in str(p) for p in path)):
+            q_k = out["to_q"].get("kernel")
+            qi = out["to_q_i2v"]
+            if (q_k is not None and "kernel" in qi
+                    and tuple(q_k.shape) == tuple(qi["kernel"].shape)):
+                out["to_q_i2v"] = dict(qi, kernel=q_k)
+        return out
+
+    return walk(flax_params)
+
+
 def load_animate3d_motion_checkpoint(
     flax_params: Dict[str, Any], ckpt_path: str
 ) -> Tuple[Dict[str, Any], int]:

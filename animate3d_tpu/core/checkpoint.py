@@ -69,6 +69,31 @@ def restore_checkpoint(path: str, target: Dict[str, Any]) -> Dict[str, Any]:
     return ckptr.restore(os.path.abspath(path), target=target)
 
 
+def restore_checkpoint_raw(path: str) -> Dict[str, Any]:
+    """Restore without a target template (structure read from disk). Used for
+    partial loads (e.g. stage chaining takes only ``params`` regardless of the
+    saved optimizer state's structure)."""
+    ocp = _ocp()
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path))
+
+
+def load_flax_bundle(bundle_dir: str, templates: Dict[str, Any]) -> Dict[str, Any]:
+    """Load a converted-weights bundle (scripts/convert_weights.py layout:
+    ``bundle_dir/{unet,vae,text_encoder,image_encoder}/step_*``).
+
+    ``templates`` maps subdir name → initialized params (the restore shape/
+    dtype template). Returns only the subtrees found on disk, so callers can
+    fall back per-component. Mirrors the reference's from_pretrained loads
+    (inference.py:61-87)."""
+    out: Dict[str, Any] = {}
+    for name, tpl in templates.items():
+        latest = find_latest_checkpoint(os.path.join(bundle_dir, name))
+        if latest:
+            out[name] = restore_checkpoint(latest, tpl)
+    return out
+
+
 def extract_motion_modules(params: Dict[str, Any]) -> Dict[str, Any]:
     """Subtree of trained keys only (motion modules + adapters) — the
     release-checkpoint export (save_motion_modules parity)."""

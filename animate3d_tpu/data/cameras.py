@@ -93,6 +93,10 @@ def _camera_batch(
     }
 
 
+from animate3d_tpu.core.registry import register
+
+
+@register("hybrid-random-camera-datamodule")
 class HybridRandomCameraSampler:
     """Random 4-view × F-frame camera batches for SDS."""
 

@@ -57,8 +57,28 @@ def load_rgba_frames(image_root: str, height: int, width: int
     return np.stack(rgbs), np.stack(masks)
 
 
+from animate3d_tpu.core.registry import register
+
+
+@register("simple-multi-image-datamodule")
 class MultiImageDataset:
     """Fixed whole-video batch + per-step random-camera batches."""
+
+    @classmethod
+    def from_config(cls, data_cfg, seed: int = 0):
+        """Construct from the experiment config's ``data`` dict (registry
+        dispatch target: ``data_type: simple-multi-image-datamodule``)."""
+        from animate3d_tpu.core.config import parse_structured
+
+        d = {k: v for k, v in dict(data_cfg).items()
+             if k in MultiImageConfig.__dataclass_fields__}
+        rc = d.get("random_camera")
+        if isinstance(rc, dict):
+            d["random_camera"] = parse_structured(
+                RandomCameraConfig,
+                {k: v for k, v in rc.items()
+                 if k in RandomCameraConfig.__dataclass_fields__})
+        return cls(parse_structured(MultiImageConfig, d), seed=seed)
 
     def __init__(self, cfg: MultiImageConfig, seed: int = 0):
         self.cfg = cfg

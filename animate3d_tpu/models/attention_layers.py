@@ -73,7 +73,12 @@ class CrossViewSelfAttention(nn.Module):
             v0 = jnp.broadcast_to(v0[:, None], (b, f, n * l, c)).reshape(b * f, n * l, c)
             qi = dense(c, False, "to_q_i2v")(xr)
             hi = multi_head_attention(qi, k0, v0, self.num_heads)
-            hi = dense(c, True, "to_out_i2v")(hi)  # zero-init in converter
+            # zero-init out-projection: the I2V branch is an exact no-op at
+            # install time (reference inference.py:160-168; to_q_i2v is
+            # additionally seeded from to_q by adapter_init_parity)
+            hi = nn.Dense(c, use_bias=True, dtype=self.dtype, name="to_out_i2v",
+                          kernel_init=nn.initializers.zeros,
+                          bias_init=nn.initializers.zeros)(hi)
             h = h + hi
 
         h = dense(c, True, "to_out_0")(h)

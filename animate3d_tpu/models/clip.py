@@ -185,3 +185,19 @@ def preprocess_clip_image(images_uint8: jnp.ndarray) -> jnp.ndarray:
     mean = jnp.asarray(CLIP_IMAGE_MEAN)
     std = jnp.asarray(CLIP_IMAGE_STD)
     return (x - mean) / std
+
+
+def encode_ip_adapter_images(vision_model: CLIPVisionModelWithProjection,
+                             params, images: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, 3) float images in [0, 1] → (B, projection_dim) IP-Adapter
+    image embeds: bilinear resize to the encoder resolution + CLIP
+    normalization + vision forward (the reference's PIL round-trip +
+    IPAdapterImageProcessor + CLIPVisionModelWithProjection,
+    animatemv_guidance.py:546-555, pipeline.py:527-538). Traceable, so the
+    guidance can recompute embeds from rendered first frames every step."""
+    s = vision_model.config.image_size
+    if images.shape[1] != s or images.shape[2] != s:
+        images = jax.image.resize(images, (images.shape[0], s, s, 3), "bilinear")
+    mean = jnp.asarray(CLIP_IMAGE_MEAN)
+    std = jnp.asarray(CLIP_IMAGE_STD)
+    return vision_model.apply(params, (images - mean) / std)

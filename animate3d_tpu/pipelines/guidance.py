@@ -46,8 +46,13 @@ class GuidanceConfig:
     max_step_percent: object = 0.2
 
 
+from animate3d_tpu.core.registry import register
+
+
+@register("animatemv-diffusion-guidance")
 class AnimateMVGuidance:
-    """Functional guidance around a frozen (unet_apply, vae_encode)."""
+    """Functional guidance around a frozen (unet_apply, vae_encode);
+    config-driven construction via :func:`build_guidance_from_config`."""
 
     def __init__(
         self,
@@ -55,11 +60,16 @@ class AnimateMVGuidance:
         vae_encode: Callable,  # (params, images(B,H,W,3) in [-1,1]) -> (mean, logvar)
         cfg: GuidanceConfig = GuidanceConfig(),
         scheduler: Optional[DDIMScheduler] = None,
+        image_encode: Optional[Callable] = None,  # (ie_params, imgs01) -> (B, D)
     ):
         self.unet_apply = unet_apply
         self.vae_encode = vae_encode
         self.cfg = cfg
         self.scheduler = scheduler or DDIMScheduler.create(SchedulerConfig())
+        # when an IP-Adapter image encoder is available, the per-view embeds
+        # are recomputed from the rendered first frames every step
+        # (animatemv_guidance.py:546-555); otherwise callers pass static embeds
+        self.image_encode = image_encode
         self._loss = jax.jit(self._loss_impl)
         # (loss, ∂loss/∂rgb) as its own compile unit: the render backward is
         # excluded, so this program is VAE fwd/bwd + one frozen UNet forward
@@ -80,15 +90,24 @@ class AnimateMVGuidance:
         text_cond: jnp.ndarray,  # (B·N, 77, D)
         text_uncond: jnp.ndarray,  # (B·N, 77, D)
         camera_16d: jnp.ndarray,  # (B·N, 16) normalized flattened c2w (frame 0)
-        image_embeds: jnp.ndarray,  # (B·N, D_img)
+        image_embeds: jnp.ndarray,  # (B·N, D_img) fallback when no encoder
         t_video: jnp.ndarray,  # (B,) int32
         key: jax.Array,
+        ie_params=None,  # CLIP vision params when image_encode is set
     ) -> jnp.ndarray:
         cfg = self.cfg
         n, f = cfg.n_view, cfg.n_frame
         bnf = rgb.shape[0]
         bn = bnf // f
         b = bn // n
+
+        if self.image_encode is not None and ie_params is not None:
+            # per-view frame-0 IP-Adapter embeds from the current renders,
+            # recomputed each step, no grads (the reference's PIL round trip,
+            # animatemv_guidance.py:546-555)
+            firsts = rgb.reshape(bn, f, *rgb.shape[1:])[:, 0]
+            image_embeds = self.image_encode(
+                ie_params, jax.lax.stop_gradient(firsts)).astype(jnp.float32)
 
         # resize to the SDS encode resolution and VAE-encode (posterior sample)
         s = self.cfg.image_size
@@ -187,7 +206,8 @@ class AnimateMVGuidance:
         return (imgs / 2 + 0.5).clip(0, 1).reshape(bn, f, *imgs.shape[1:])
 
     def __call__(self, unet_params, vae_params, rgb, text_cond, text_uncond,
-                 c2w, image_embeds, key, global_step: int = 0, t_range=None):
+                 c2w, image_embeds, key, global_step: int = 0, t_range=None,
+                 ie_params=None):
         """rgb (B·N·F, H, W, 3); c2w (B·N·F, 4, 4) — frame-0 cameras per view
         are extracted and normalized to the 16-d conditioning.
 
@@ -206,7 +226,7 @@ class AnimateMVGuidance:
 
         t_video, key = self._sample_t(key, bn, t_range, global_step)
         return self._loss(unet_params, vae_params, rgb, text_cond, text_uncond,
-                          cam16, image_embeds, t_video, key)
+                          cam16, image_embeds, t_video, key, ie_params)
 
     def _sample_t(self, key, bn, t_range, global_step):
         if t_range is None:
@@ -220,7 +240,7 @@ class AnimateMVGuidance:
         return t_video, key
 
     def pixel_grad(self, unet_params, vae_params, rgb, text_cond, text_uncond,
-                   c2w, image_embeds, key, t_range):
+                   c2w, image_embeds, key, t_range, ie_params=None):
         """(loss, ∂loss/∂rgb) — callers chain the render VJP themselves so the
         UNet and the rasterizer never share one XLA program."""
         cfg = self.cfg
@@ -231,4 +251,118 @@ class AnimateMVGuidance:
         cam16 = c2w_v.at[:, :3, 3].set(t).reshape(bn, 16).astype(jnp.float32)
         t_video, key = self._sample_t(key, bn, t_range, 0)
         return self._pixel_grad(unet_params, vae_params, rgb, text_cond,
-                                text_uncond, cam16, image_embeds, t_video, key)
+                                text_uncond, cam16, image_embeds, t_video, key,
+                                ie_params)
+
+
+def build_guidance_from_config(sys_cfg, acfg):
+    """Frozen MV-VDM + VAE (+ CLIP text/image encoders) for 4D-SDS, from the
+    experiment config (registered as "animatemv-diffusion-guidance").
+
+    Weight sources (reference animatemv_guidance.py:105-320 builds the full
+    pretrained stack): ``guidance.flax_params_dir`` — the converted-weights
+    bundle from scripts/convert_weights.py ({unet, vae, text_encoder,
+    image_encoder} + tokenizer) — plus ``guidance.pretrained_unet_path`` for
+    the torch motion checkpoint (converted on the fly, loaded on top).
+    Returns (AnimateMVGuidance, guidance_inputs dict)."""
+    import numpy as np
+
+    from animate3d_tpu.models.factory import (
+        build_models,
+        has_tokenizer,
+        init_and_load,
+    )
+    from animate3d_tpu.models.vae import AutoencoderKL
+
+    g = dict(sys_cfg.get("guidance", {}))
+    model_size = g.get("model_size", sys_cfg.get("model_size", "full"))
+    unet, vae, text_model, vision_model = build_models(
+        model_size, acfg.n_view, dtype=jnp.bfloat16)
+    ucfg = unet.config
+
+    n_frame = g.get("n_frame", acfg.n_frame)
+    image_size = g.get("image_size", 256)
+    (unet_params, vae_params, text_params, vision_params,
+     loaded) = init_and_load(unet, vae, text_model, vision_model,
+                             image_size, image_size, acfg.n_view,
+                             g.get("flax_params_dir"),
+                             g.get("pretrained_unet_path"))
+    if "unet" not in loaded and "motion_ckpt" not in loaded:
+        print("[guidance] WARNING: randomly initialized guidance (smoke mode)")
+
+    from animate3d_tpu.ops.attention import attention_backend
+
+    def unet_apply(p, lat, t, ctx, cam, ie, i2v_cond_time_zero=False):
+        # flash attention keeps the guidance UNet's logits out of HBM inside
+        # the pixel-gradient program (docs/architecture.md)
+        with attention_backend("flash"):
+            return unet.apply(p, lat, t, ctx, cam, ie,
+                              i2v_cond_time_zero=i2v_cond_time_zero)
+
+    def vae_encode(p, x):
+        return vae.apply(p, x, method=AutoencoderKL.encode)
+
+    image_encode = None
+    if vision_params is not None:
+        from animate3d_tpu.models.clip import encode_ip_adapter_images
+
+        def image_encode(ie_params, imgs):
+            return encode_ip_adapter_images(vision_model, ie_params, imgs)
+
+    gcfg = GuidanceConfig(
+        guidance_scale=g.get("guidance_scale", 5.0),
+        n_view=g.get("n_view", acfg.n_view),
+        n_frame=n_frame,
+        image_size=image_size,
+        recon_std_rescale=g.get("recon_std_rescale", 0.25),
+        min_step_percent=g.get("min_step_percent", 0.02),
+        max_step_percent=g.get("max_step_percent", 0.2),
+        i2v_cond_time_zero=g.get("model_config", {}).get("i2v_cond_time_zero", False),
+    )
+    guidance = AnimateMVGuidance(unet_apply, vae_encode, gcfg,
+                                 image_encode=image_encode)
+
+    # text conditioning for the SDS batch (one video = n_view rows): real
+    # CLIP encoding through the cached prompt processor when the text tower
+    # is loaded (threestudio prompt-processor parity), zeros otherwise.
+    bn = acfg.n_view
+    pp = dict(sys_cfg.get("prompt_processor", {}))
+    prompt = pp.get("prompt", "") or ""
+    negative = pp.get("negative_prompt", "") or ""
+    text_cond = text_uncond = None
+    bundle_dir = g.get("flax_params_dir")
+    if text_params is not None and has_tokenizer(bundle_dir):
+        from animate3d_tpu.models.prompt_processor import PromptProcessor
+        from animate3d_tpu.utils.tokenizer import (
+            ClipTokenizer,
+            find_tokenizer_files,
+        )
+
+        tok = ClipTokenizer(*find_tokenizer_files(bundle_dir), max_length=77)
+
+        def encode_fn(prompts):
+            out = text_model.apply(text_params, jnp.asarray(tok(prompts)))
+            return np.asarray(out)
+
+        proc = PromptProcessor(encode_fn,
+                               cache_dir=pp.get("cache_dir",
+                                                ".cache/text_embeddings"))
+        embs = proc(prompt, negative)
+        text_cond = jnp.tile(jnp.asarray(embs["cond"])[None], (bn, 1, 1))
+        text_uncond = jnp.tile(jnp.asarray(embs["uncond"])[None], (bn, 1, 1))
+    if text_cond is None:
+        from animate3d_tpu.models.prompt_processor import encode_prompt_or_zeros
+
+        text_cond, text_uncond = encode_prompt_or_zeros(
+            prompt, negative, bn, hidden_size=ucfg.cross_attention_dim)
+
+    inputs = {
+        "unet_params": unet_params,
+        "vae_params": vae_params,
+        "text_cond": text_cond,
+        "text_uncond": text_uncond,
+        # static fallback embeds, used only when no image encoder is loaded
+        "image_embeds": jnp.zeros((bn, ucfg.image_embed_dim)),
+        "ie_params": vision_params,
+    }
+    return guidance, inputs

@@ -60,7 +60,13 @@ def trainable_mask(params) -> Any:
 
 
 def make_optimizer(params, cfg: MVVDMTrainConfig) -> optax.GradientTransformation:
-    mask = trainable_mask(params)
+    """AdamW on the trainable subset; frozen params get zero updates.
+
+    (optax.masked alone is wrong here: it passes masked-out gradients through
+    *unchanged* as updates, which would apply raw-gradient steps to the frozen
+    base weights.)"""
+    labels = jax.tree_util.tree_map(
+        lambda t: "train" if t else "freeze", trainable_mask(params))
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
@@ -69,7 +75,8 @@ def make_optimizer(params, cfg: MVVDMTrainConfig) -> optax.GradientTransformatio
             weight_decay=cfg.weight_decay,
         ),
     )
-    return optax.masked(tx, mask)
+    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()},
+                                 labels)
 
 
 class TrainBatch(NamedTuple):

@@ -83,6 +83,13 @@ def render_batch(
     shs = state.get_features()
     if bg_color is None:
         bg_color = jnp.asarray(cfg.back_ground_color, jnp.float32)
+    if do_reconstruction and key is not None and cfg.invert_bg_prob < 1.0:
+        # training-only background inversion with prob 1 − invert_bg_prob
+        # (diff_gaussian_rasterizer_advanced_4d.py:64-70: invert when
+        # rand() > invert_bg_prob; prob 1.0 ⇒ never inverted)
+        key, k_bg = jax.random.split(key)
+        invert = jax.random.uniform(k_bg, ()) > cfg.invert_bg_prob
+        bg_color = jnp.where(invert, 1.0 - bg_color, bg_color)
 
     static_scales = state.get_scaling()
     static_rot = state.get_rotation()

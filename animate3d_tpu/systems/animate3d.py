@@ -178,6 +178,64 @@ class Animate3DSystem:
         self._g_render_fwd = jax.jit(self._render_guidance_rgb)
         self._g_render_vjp = jax.jit(self._sds_render_vjp_impl)
 
+    @classmethod
+    def from_config(cls, cfg, seed: int = 0):
+        """Construct from an ExperimentConfig (registry dispatch target:
+        ``system_type: gaussian-splatting-animate3d-system``)."""
+        from animate3d_tpu.core.config import parse_structured
+
+        sys_cfg = cfg.system
+        geo = dict(sys_cfg.get("geometry", {}))
+        load_ply = dict(geo.get("load_ply_cfg", {}))
+        grid_size = tuple(tuple(g) for g in geo.get(
+            "grid_size", ((50, 50, 50, 8), (100, 100, 100, 16))))
+        renderer = dict(sys_cfg.get("renderer", {}))
+        loss = {k: v for k, v in dict(sys_cfg.get("loss", {})).items()
+                if k in LossConfig.__dataclass_fields__}
+
+        acfg = Animate3DConfig(
+            n_view=sys_cfg.get("n_view", 4),
+            n_frame=sys_cfg.get("n_frame", 16),
+            progressive_iter_per_frame=sys_cfg.get("progressive_iter_per_frame", 50),
+            sample_strategy=sys_cfg.get("sample_strategy", "normal"),
+            load_guidance=sys_cfg.get("load_guidance", False),
+            geometry_convert_from=geo.get("geometry_convert_from", ""),
+            rot_x_degree=load_ply.get("rot_x_degree", 0.0),
+            rot_z_degree=load_ply.get("rot_z_degree", 0.0),
+            scale_factor=load_ply.get("scale_factor", 1.0),
+            connected_vertices_info_path=sys_cfg.get(
+                "connected_vertices_info_path", ""),
+            delta_xyz_network_lr=geo.get("delta_xyz_network_lr", 1e-4),
+            delta_rot_network_lr=geo.get("delta_rot_network_lr", 1e-4),
+            delta_scaling_network_lr=geo.get("delta_scaling_network_lr", 1e-4),
+            grid_lr=geo.get("grid_lr", 0.01),
+            global_trans_lr=geo.get("global_trans_lr", 1e-3),
+            deform=DeformConfig(
+                grid_sizes=grid_size,
+                grid_feature_dim=geo.get("n_grid_dims", 16),
+                use_global_trans=geo.get("use_global_trans", False),
+            ),
+            renderer=Renderer4DConfig(
+                height=cfg.data.get("height", 256),
+                width=cfg.data.get("width", 256),
+                back_ground_color=tuple(
+                    renderer.get("back_ground_color", (1, 1, 1))),
+                invert_bg_prob=renderer.get("invert_bg_prob", 1.0),
+                first_frame_trainable=renderer.get("first_frame_trainable",
+                                                   False),
+            ),
+            loss=parse_structured(LossConfig, loss),
+        )
+
+        guidance = None
+        guidance_inputs = None
+        if acfg.load_guidance:
+            from animate3d_tpu.pipelines.guidance import build_guidance_from_config
+
+            guidance, guidance_inputs = build_guidance_from_config(sys_cfg, acfg)
+        return cls(acfg, key=jax.random.PRNGKey(seed), guidance=guidance,
+                   guidance_inputs=guidance_inputs)
+
     # -- progressive frame schedule (host-side) ------------------------------
 
     def frame_weights(self, step: int) -> np.ndarray:
@@ -361,7 +419,8 @@ class Animate3DSystem:
             self.guidance_inputs["vae_params"],
             rgb, g["text_cond"], g["text_uncond"], g["c2w"],
             g["image_embeds"], key,
-            t_range=(lambdas["g_min_step"], lambdas["g_max_step"]))
+            t_range=(lambdas["g_min_step"], lambdas["g_max_step"]),
+            ie_params=self.guidance_inputs.get("ie_params"))
         grads = self._g_render_vjp(params, g, rgb_grad)
         return loss_sds, grads
 

@@ -122,3 +122,22 @@ def find_tokenizer_files(root: str) -> Tuple[str, str]:
         if os.path.exists(v) and os.path.exists(m):
             return v, m
     raise FileNotFoundError(f"No vocab.json/merges.txt under {root}")
+
+
+def write_char_level_tokenizer(out_dir: str) -> None:
+    """Write a minimal valid vocab.json/merges.txt (byte-level chars + </w>
+    forms + specials, no merges). Used for weightless smoke runs and tests —
+    real runs copy the SD1.5 tokenizer via scripts/convert_weights.py."""
+    os.makedirs(out_dir, exist_ok=True)
+    chars = list(bytes_to_unicode().values())
+    vocab: Dict[str, int] = {}
+    for c in chars:
+        vocab[c] = len(vocab)
+    for c in chars:
+        vocab[c + "</w>"] = len(vocab)
+    vocab["<|startoftext|>"] = len(vocab)
+    vocab["<|endoftext|>"] = len(vocab)
+    with open(os.path.join(out_dir, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(out_dir, "merges.txt"), "w") as f:
+        f.write("#version: test\n")

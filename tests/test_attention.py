@@ -62,13 +62,33 @@ class TestCrossViewSelfAttention:
     def test_i2v_branch_leaks_frame0_to_all_frames(self):
         m = CrossViewSelfAttention(self.c, 2, self.n, image_attn=True)
         params = m.init(jax.random.PRNGKey(0), self.x, self.f)
-        # make to_out_i2v nonzero so the branch contributes
-        params = jax.tree_util.tree_map(lambda p: p, params)
+        # to_out_i2v is zero-init (no-op at install); make it nonzero so the
+        # branch contributes
+        rng = np.random.default_rng(7)
+        oi = params["params"]["to_out_i2v"]
+        params = {"params": dict(params["params"], to_out_i2v=dict(
+            oi, kernel=jnp.asarray(rng.normal(size=oi["kernel"].shape) * 0.1,
+                                   jnp.float32)))}
         base = np.asarray(m.apply(params, self.x, self.f))
         x2 = self.x.at[4].add(1.0)  # view2 frame0
         out = np.asarray(m.apply(params, x2, self.f))
         # frame-1 outputs now change too, via the frame-0 K/V broadcast
         assert np.abs(out[1] - base[1]).max() > 1e-8
+
+    def test_i2v_branch_is_noop_at_init(self):
+        """Install-time parity (reference inference.py:160-168): zero-init
+        to_out_i2v ⇒ the I2V branch contributes exactly nothing at init."""
+        m_i2v = CrossViewSelfAttention(self.c, 2, self.n, image_attn=True)
+        params = m_i2v.init(jax.random.PRNGKey(0), self.x, self.f)
+        oi = params["params"]["to_out_i2v"]
+        assert np.all(np.asarray(oi["kernel"]) == 0.0)
+        assert np.all(np.asarray(oi["bias"]) == 0.0)
+        m_plain = CrossViewSelfAttention(self.c, 2, self.n, image_attn=False)
+        shared = {"params": {k: v for k, v in params["params"].items()
+                             if not k.endswith("_i2v")}}
+        out_i2v = np.asarray(m_i2v.apply(params, self.x, self.f))
+        out_plain = np.asarray(m_plain.apply(shared, self.x, self.f))
+        np.testing.assert_array_equal(out_i2v, out_plain)
 
 
 class TestTextCrossAttention:

@@ -52,10 +52,20 @@ def test_extract_motion_modules():
     assert sorted(flat) == [1, 3]  # motion module + i2v adapter only
 
 
-def test_registry_entries_importable():
-    import animate3d_tpu.registry_entries  # noqa: F401
+def test_registry_dispatch_real():
+    """The registry is load-bearing: launch dispatches system_type/data_type
+    through find() (reference launch.py:169-170)."""
+    import animate3d_tpu.systems.animate3d  # noqa: F401
+    import animate3d_tpu.data.multi_image  # noqa: F401
     from animate3d_tpu.core.registry import find
+    from animate3d_tpu.systems.animate3d import Animate3DSystem
+    from animate3d_tpu.data.multi_image import MultiImageDataset
 
-    assert find("gaussian-splatting-animate3d-system") is not None
+    assert find("gaussian-splatting-animate3d-system") is Animate3DSystem
+    assert hasattr(find("gaussian-splatting-animate3d-system"), "from_config")
+    assert find("simple-multi-image-datamodule") is MultiImageDataset
+    import animate3d_tpu.pipelines.guidance  # noqa: F401
+    import animate3d_tpu.data.cameras  # noqa: F401
+
     assert find("animatemv-diffusion-guidance") is not None
-    assert find("simple-multi-image-datamodule") is not None
+    assert find("hybrid-random-camera-datamodule") is not None

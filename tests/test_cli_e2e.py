@@ -120,3 +120,77 @@ def test_launch_test_restores_checkpoint(workspace):
     main(["--config", str(cfg_path), "--test"])
     trial = root / "outputs" / "e2e" / "t"
     assert (trial / "save" / "videos").exists()
+
+
+def test_refine_stage_chaining_and_guidance(workspace, tmp_path):
+    """Stage-2 e2e: system.weights restores the recon checkpoint (VERDICT
+    item 3) and the tiny guidance stack (bundle-loaded UNet/VAE + per-step
+    IP image embeds) drives one SDS step (items 1/2)."""
+    import jax
+    import jax.numpy as jnp
+    import yaml
+
+    root, cfg_path = workspace
+    trial = root / "outputs" / "e2e" / "t"
+    assert (trial / "ckpts").exists(), "recon run must have executed first"
+
+    # tiny converted-weights bundle for the guidance stack
+    from animate3d_tpu.cli.inference import build_models
+    from animate3d_tpu.core.checkpoint import restore_checkpoint_raw, save_checkpoint
+
+    unet, vae, _, vision = build_models("tiny", N_VIEW, dtype=jnp.float32)
+    ucfg = unet.config
+    uparams = jax.jit(unet.init)(
+        jax.random.PRNGKey(11), jnp.zeros((N_VIEW, 2, 8, 8, 4)),
+        jnp.asarray(0.0), jnp.zeros((N_VIEW, 77, ucfg.cross_attention_dim)),
+        jnp.zeros((N_VIEW, 16)), jnp.zeros((N_VIEW, ucfg.image_embed_dim)))
+    save_checkpoint(str(tmp_path / "bundle" / "unet"), 0, uparams)
+    s = vision.config.image_size
+    vparams = jax.jit(vision.init)(jax.random.PRNGKey(12),
+                                   jnp.zeros((1, s, s, 3)))
+    save_checkpoint(str(tmp_path / "bundle" / "image_encoder"), 0, vparams)
+
+    cfg = yaml.safe_load(cfg_path.read_text())
+    cfg["name"] = "e2e_refine"
+    cfg["system"]["weights"] = str(trial / "ckpts")
+    cfg["system"]["load_guidance"] = True
+    cfg["system"]["loss"]["lambda_sds"] = 0.01
+    cfg["system"]["guidance"] = {
+        "model_size": "tiny",
+        "flax_params_dir": str(tmp_path / "bundle"),
+        "n_frame": N_FRAME,
+        "image_size": 16,
+        "guidance_scale": 5.0,
+    }
+    cfg["data"]["use_random_camera"] = True
+    cfg["data"]["random_camera"] = {
+        "batch_size": N_VIEW * N_FRAME,
+        "n_view": N_VIEW,
+        "total_frame": N_FRAME,
+        "width": 16, "height": 16,
+    }
+    cfg["trainer"]["max_steps"] = 1
+    cfg["checkpoint"]["every_n_train_steps"] = 1
+    refine_cfg = tmp_path / "refine.yaml"
+    refine_cfg.write_text(yaml.safe_dump(cfg))
+
+    from animate3d_tpu.cli.launch import main
+
+    main(["--config", str(refine_cfg), "--train"])
+
+    refine_trial = root / "outputs" / "e2e_refine" / "t"
+    metrics = [json.loads(l) for l in open(refine_trial / "metrics.jsonl")]
+    assert "loss_sds" in metrics[0] and np.isfinite(metrics[0]["loss_sds"])
+
+    # refine params started from the recon checkpoint, not zero-init:
+    recon = restore_checkpoint_raw(
+        str(sorted((trial / "ckpts").glob("step_*"))[-1]))
+    refined = restore_checkpoint_raw(
+        str(sorted((refine_trial / "ckpts").glob("step_*"))[-1]))
+    ra = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(
+        recon["params"])])
+    fa = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(
+        refined["params"])])
+    # after 1 step of lr<=1e-2 the params stay near the recon solution
+    assert np.abs(ra - fa).max() < 0.05
+    assert np.abs(ra).max() > 0  # recon actually trained something

@@ -186,3 +186,36 @@ def test_layernorm_and_embedding_parity():
     with torch.no_grad():
         out_t = hf(torch.from_numpy(np.asarray(ids))).last_hidden_state.numpy()
     np.testing.assert_allclose(out_f, out_t, atol=2e-4)
+
+
+def test_adapter_init_parity_seeds_to_q_i2v_from_to_q():
+    """Reference install-time surgery (inference.py:160-168): spatial attn1
+    to_q_i2v := to_q; motion-module adapters keep their own init."""
+    from animate3d_tpu.convert.torch_to_flax import adapter_init_parity
+    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+
+    ucfg = MVUNetConfig.tiny()
+    unet = MVMotionUNet(ucfg)
+    params = jax.jit(unet.init)(
+        jax.random.PRNGKey(0),
+        jnp.zeros((4, 2, 8, 8, 4)), jnp.asarray(0.0),
+        jnp.zeros((4, 7, ucfg.cross_attention_dim)), jnp.zeros((4, 16)),
+        jnp.zeros((4, ucfg.image_embed_dim)))
+    out = adapter_init_parity(params)
+
+    p = out["params"]
+    attn1 = p["down_blocks_0_attentions_0"]["transformer_blocks_0"]["attn1"]
+    np.testing.assert_array_equal(np.asarray(attn1["to_q_i2v"]["kernel"]),
+                                  np.asarray(attn1["to_q"]["kernel"]))
+    # zero-init out projection (no-op branch at install)
+    assert np.all(np.asarray(attn1["to_out_i2v"]["kernel"]) == 0.0)
+
+    # motion-module spatiotemporal adapters must NOT be overwritten
+    mm = p["down_blocks_0_motion_modules_0"]["transformer_blocks_0"]["attn1"]
+    if "to_q_i2v" in mm:
+        orig = params["params"]["down_blocks_0_motion_modules_0"][
+            "transformer_blocks_0"]["attn1"]["to_q_i2v"]["kernel"]
+        np.testing.assert_array_equal(np.asarray(mm["to_q_i2v"]["kernel"]),
+                                      np.asarray(orig))
+        assert np.abs(np.asarray(mm["to_q_i2v"]["kernel"])
+                      - np.asarray(mm["to_q"]["kernel"])).max() > 0

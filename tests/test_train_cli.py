@@ -90,3 +90,118 @@ global_seed: 0
     metrics = [json.loads(l) for l in open(tmp_path / "out" / "metrics.jsonl")]
     steps = [m["step"] for m in metrics]
     assert steps == [0, 1, 2]
+
+
+def test_frozen_params_do_not_move():
+    """Regression: optax.masked passes masked-out grads through as raw
+    updates — the optimizer must zero them instead (train.py:350-358 freezes
+    everything but motion_modules/i2v adapters)."""
+    import jax
+    import jax.numpy as jnp
+
+    from animate3d_tpu.pipelines.train_mvvdm import (
+        MVVDMTrainConfig,
+        TrainBatch,
+        make_optimizer,
+        make_train_step,
+    )
+
+    params = {"params": {
+        "to_q": {"kernel": jnp.ones((4,))},
+        "motion_modules_0": {"kernel": jnp.ones((4,))},
+    }}
+
+    def unet_apply(p, lat, t, ctx, cam, ie, i2v_cond_time_zero=False):
+        s = (jnp.sum(p["params"]["to_q"]["kernel"] ** 2)
+             + jnp.sum(p["params"]["motion_modules_0"]["kernel"] ** 2))
+        return lat * s
+
+    cfg = MVVDMTrainConfig(num_views=4)
+    tx = make_optimizer(params, cfg)
+    opt_state = tx.init(params)
+    step = jax.jit(make_train_step(unet_apply, tx, cfg))
+    rng = np.random.default_rng(0)
+    batch = TrainBatch(
+        latents=jnp.asarray(rng.normal(size=(4, 2, 4, 4, 4)), jnp.float32),
+        text_ctx=jnp.zeros((4, 7, 8)), null_text_ctx=jnp.zeros((4, 7, 8)),
+        camera=jnp.zeros((4, 16)), image_embeds=jnp.zeros((4, 8)))
+    p2, _, metrics = step(params, opt_state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    # frozen: bit-identical; trainable: moved
+    np.testing.assert_array_equal(
+        np.asarray(p2["params"]["to_q"]["kernel"]),
+        np.asarray(params["params"]["to_q"]["kernel"]))
+    assert np.abs(np.asarray(p2["params"]["motion_modules_0"]["kernel"])
+                  - 1.0).max() > 0
+
+
+def _write_train_workspace(tmp_path, caption="a red toy"):
+    from PIL import Image
+
+    vid_dir = tmp_path / "vids"
+    vid_dir.mkdir(exist_ok=True)
+    rng = np.random.default_rng(0)
+    for v in range(4):
+        Image.fromarray(
+            rng.uniform(0, 255, size=(16, 16, 3)).astype(np.uint8)
+        ).save(vid_dir / f"view{v}.png")
+    (tmp_path / "manifest.json").write_text(json.dumps(
+        [{"videos": [f"view{v}.png" for v in range(4)], "caption": caption}]))
+
+
+def _make_tiny_bundle(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from animate3d_tpu.cli.inference import build_models
+    from animate3d_tpu.core.checkpoint import save_checkpoint
+    from animate3d_tpu.utils.tokenizer import write_char_level_tokenizer
+
+    _, _, text_model, vision_model = build_models("tiny", 4, dtype=jnp.float32)
+    bundle = tmp_path / "bundle"
+    tparams = jax.jit(text_model.init)(jax.random.PRNGKey(3),
+                                       jnp.zeros((1, 77), jnp.int32))
+    save_checkpoint(str(bundle / "text_encoder"), 0, tparams)
+    s = vision_model.config.image_size
+    vparams = jax.jit(vision_model.init)(jax.random.PRNGKey(4),
+                                         jnp.zeros((1, s, s, 3)))
+    save_checkpoint(str(bundle / "image_encoder"), 0, vparams)
+    write_char_level_tokenizer(str(bundle / "tokenizer"))
+    return bundle
+
+
+def _run_trainer(tmp_path, bundle, caption, out_name):
+    _write_train_workspace(tmp_path, caption=caption)
+    cfg = f"""
+output_dir: "{tmp_path}/{out_name}"
+model_size: tiny
+num_views: 4
+video_length: 2
+sample_size: 16
+flax_params_dir: "{bundle}"
+train_data:
+  manifest_path: "{tmp_path}/manifest.json"
+  video_root: "{tmp_path}/vids"
+max_train_steps: 1
+checkpointing_steps: 1
+learning_rate: 1.0e-4
+cfg_random_null_text_ratio: 0.0
+global_seed: 0
+"""
+    cfg_path = tmp_path / f"{out_name}.yaml"
+    cfg_path.write_text(cfg)
+    from animate3d_tpu.cli.train_mvvdm import main
+
+    main(["--config", str(cfg_path)])
+    metrics = [json.loads(l) for l in open(tmp_path / out_name / "metrics.jsonl")]
+    return metrics[0]["loss"]
+
+
+def test_caption_content_changes_loss(tmp_path):
+    """Text conditioning is live in the trainer (VERDICT item 4): same data +
+    seed, different caption ⇒ different loss through the CLIP text tower."""
+    bundle = _make_tiny_bundle(tmp_path)
+    loss_a = _run_trainer(tmp_path, bundle, "a red toy", "out_a")
+    loss_b = _run_trainer(tmp_path, bundle, "a blue dragon flying", "out_b")
+    assert np.isfinite(loss_a) and np.isfinite(loss_b)
+    assert abs(loss_a - loss_b) > 1e-7

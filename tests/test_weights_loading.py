@@ -1,0 +1,121 @@
+"""Converted-weights wiring: bundle load round trip + CLI end-to-end.
+
+VERDICT round-1 item 1: the CLIs must actually load the orbax bundles that
+scripts/convert_weights.py produces (reference builds every model from
+pretrained weights, inference.py:61-87)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+
+def _tiny_models():
+    from animate3d_tpu.cli.inference import build_models
+
+    return build_models("tiny", 4, dtype=jnp.float32)
+
+
+def _init_unet(unet, seed=0):
+    ucfg = unet.config
+    return jax.jit(unet.init)(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((4, 2, 8, 8, 4)), jnp.asarray(0.0),
+        jnp.zeros((4, 77, ucfg.cross_attention_dim)), jnp.zeros((4, 16)),
+        jnp.zeros((4, ucfg.image_embed_dim)))
+
+
+def test_load_flax_bundle_roundtrip(tmp_path):
+    from animate3d_tpu.core.checkpoint import load_flax_bundle, save_checkpoint
+
+    unet, vae, _, _ = _tiny_models()
+    params = _init_unet(unet, seed=3)
+    save_checkpoint(str(tmp_path / "unet"), 0, params)
+
+    template = _init_unet(unet, seed=0)  # different values, same structure
+    bundle = load_flax_bundle(str(tmp_path), {"unet": template})
+    assert set(bundle) == {"unet"}
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(bundle["unet"])
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_flax_bundle_skips_missing(tmp_path):
+    from animate3d_tpu.core.checkpoint import load_flax_bundle
+
+    bundle = load_flax_bundle(str(tmp_path), {"unet": {"x": jnp.zeros(1)}})
+    assert bundle == {}
+
+
+@pytest.fixture(scope="module")
+def cond_images(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cond")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.uniform(0, 255, size=(32, 32, 3)).astype(np.uint8)
+        Image.fromarray(img).save(root / f"{i}.png")
+    return root
+
+
+def _run_inference(out_dir, cond_root, flax_params=None):
+    from animate3d_tpu.cli.inference import main
+
+    argv = [
+        "--ip_image_root", str(cond_root),
+        "--output_dir", str(out_dir),
+        "--model_size", "tiny",
+        "-W", "32", "-H", "32", "-L", "2",
+        "--steps", "2", "--freeinit_iters", "1", "--seed", "1",
+    ]
+    if flax_params:
+        argv += ["--flax_params", str(flax_params)]
+    main(argv)
+    gif = os.path.join(out_dir, "sample", "0-sample.gif")
+    assert os.path.exists(gif)
+    im = Image.open(gif)
+    frames = []
+    for i in range(im.n_frames):
+        im.seek(i)
+        frames.append(np.asarray(im.convert("RGB")))
+    return np.stack(frames)
+
+
+def test_inference_cli_loads_unet_bundle(tmp_path, cond_images):
+    """--flax_params must change the output vs random init (it was dead code
+    in round 1)."""
+    from animate3d_tpu.core.checkpoint import save_checkpoint
+
+    unet, _, _, _ = _tiny_models()
+    # a bundle whose unet params differ from the CLI's seed-0 init
+    params = _init_unet(unet, seed=0)
+    params = jax.tree_util.tree_map(lambda p: p * 1.5 + 0.01, params)
+    save_checkpoint(str(tmp_path / "bundle" / "unet"), 0, params)
+
+    frames_random = _run_inference(tmp_path / "out_a", cond_images)
+    frames_loaded = _run_inference(tmp_path / "out_b", cond_images,
+                                   flax_params=tmp_path / "bundle")
+    assert np.abs(frames_random.astype(np.int32)
+                  - frames_loaded.astype(np.int32)).max() > 0
+
+
+def test_inference_cli_ip_image_conditioning_wired(tmp_path, cond_images):
+    """With an image encoder in the bundle, the conditioning renders are
+    CLIP-encoded and the nonzero embeds change the sample through
+    to_k_ip/to_v_ip (VERDICT item 2)."""
+    from animate3d_tpu.core.checkpoint import save_checkpoint
+
+    _, _, _, vision = _tiny_models()
+    s = vision.config.image_size
+    vparams = jax.jit(vision.init)(jax.random.PRNGKey(5),
+                                   jnp.zeros((1, s, s, 3)))
+    save_checkpoint(str(tmp_path / "bundle" / "image_encoder"), 0, vparams)
+
+    frames_zeros = _run_inference(tmp_path / "out_a", cond_images)
+    frames_ip = _run_inference(tmp_path / "out_b", cond_images,
+                               flax_params=tmp_path / "bundle")
+    assert np.abs(frames_zeros.astype(np.int32)
+                  - frames_ip.astype(np.int32)).max() > 0
