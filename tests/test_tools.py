@@ -96,3 +96,45 @@ def test_trajectory_loader(tmp_path):
     traj = load_trajectory_frames(str(tmp_path))
     assert traj.shape == (4, 4, 3)
     np.testing.assert_array_equal(traj[:, 0, 0], [0, 1, 2, 10])
+
+
+class TestPropagationTracker:
+    def _sequence(self, bg="gradient", n=8, res=64):
+        """Moving colored disk over a non-white background."""
+        yy, xx = np.mgrid[0:res, 0:res].astype(np.float32)
+        if bg == "gradient":
+            bg_img = np.stack([xx / res, yy / res, 0.5 + 0 * xx], -1)
+        else:
+            bg_img = np.ones((res, res, 3), np.float32)
+        frames, gts = [], []
+        for i in range(n):
+            cx, cy, r = 20 + 2.5 * i, 26 + 1.5 * i, 10
+            disk = ((xx - cx) ** 2 + (yy - cy) ** 2) < r * r
+            img = bg_img.copy()
+            img[disk] = (0.8, 0.2, 0.1)
+            frames.append(img)
+            gts.append(disk.astype(np.float32))
+        return np.stack(frames), np.stack(gts)
+
+    def _iou(self, a, b):
+        inter = np.logical_and(a > 0.5, b > 0.5).sum()
+        union = np.logical_or(a > 0.5, b > 0.5).sum()
+        return inter / max(union, 1)
+
+    def test_propagation_tracks_on_nonwhite_background(self):
+        from animate3d_tpu.tools.tracking import segment_video
+
+        frames, gts = self._sequence(bg="gradient")
+        masks = segment_video(frames, gts[0], backend="propagation")
+        ious = [self._iou(m, g) for m, g in zip(masks, gts)]
+        assert min(ious) > 0.8, ious
+
+    def test_chroma_fails_where_propagation_succeeds(self):
+        """Documents why the default changed: the chroma backend assumes a
+        near-white background and breaks on the gradient scene."""
+        from animate3d_tpu.tools.tracking import segment_video
+
+        frames, gts = self._sequence(bg="gradient")
+        chroma = segment_video(frames, gts[0], backend="chroma")
+        iou_last = self._iou(chroma[-1], gts[-1])
+        assert iou_last < 0.5, iou_last
