@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import time
-from typing import Optional
 
 import numpy as np
 
@@ -38,8 +36,7 @@ def main(argv=None) -> None:
         save_checkpoint,
     )
     from animate3d_tpu.data.video_dataset import MVideoConfig, MVideoDataset
-    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
-    from animate3d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from animate3d_tpu.models.vae import AutoencoderKL
     from animate3d_tpu.parallel.mesh import make_mesh, replicate, shard_batch
     from animate3d_tpu.pipelines.train_mvvdm import (
         MVVDMTrainConfig,
@@ -100,12 +97,27 @@ def main(argv=None) -> None:
         return unet.apply(p, latents, t, ctx, cam, ie,
                           i2v_cond_time_zero=i2v_cond_time_zero)
 
+    dcfg = MVideoConfig(
+        manifest_path=cfg["train_data"]["manifest_path"],
+        video_root=cfg["train_data"].get("video_root", ""),
+        sample_size=sample_size, sample_n_frames=n_frames, num_views=n_views)
+    dataset = MVideoDataset(dcfg, seed=cfg.get("global_seed", 42))
+    batch_size = cfg.get("train_batch_size", 1) * max(jax.device_count(), 1)
+    # epoch semantics (train.py:422-425): steps default to epochs × dataset
+    max_steps = cfg.get("max_train_steps",
+                        cfg.get("max_train_epoch", 20) * max(len(dataset), 1))
     tcfg = MVVDMTrainConfig(
         learning_rate=cfg.get("learning_rate", 1e-4),
         cfg_dropout_prob=cfg.get("cfg_random_null_text_ratio", 0.1),
         num_views=n_views,
         i2v_cond_time_zero=cfg.get("i2v_cond_time_zero", False),
         max_grad_norm=cfg.get("max_grad_norm", 1.0),
+        lr_scheduler=cfg.get("lr_scheduler", "constant"),
+        lr_warmup_steps=cfg.get("lr_warmup_steps", 0),
+        max_train_steps=max_steps,
+        gradient_accumulation_steps=cfg.get("gradient_accumulation_steps", 1),
+        scale_lr=cfg.get("scale_lr", False),
+        lr_scale_factor=float(batch_size),
     )
     tx = make_optimizer(unet_params, tcfg)
     opt_state = tx.init(unet_params)
@@ -125,12 +137,6 @@ def main(argv=None) -> None:
         start_step = int(restored["step"])
         print(f"[resume] {latest} @ step {start_step}")
 
-    dcfg = MVideoConfig(
-        manifest_path=cfg["train_data"]["manifest_path"],
-        video_root=cfg["train_data"].get("video_root", ""),
-        sample_size=sample_size, sample_n_frames=n_frames, num_views=n_views)
-    dataset = MVideoDataset(dcfg, seed=cfg.get("global_seed", 42))
-    batch_size = cfg.get("train_batch_size", 1) * max(jax.device_count(), 1)
     it = dataset.iterate(batch_size=batch_size)
 
     # posterior *sample* (train.py:527 .sample() — not .mode(), which the
@@ -183,10 +189,53 @@ def main(argv=None) -> None:
     logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
     timer = StepTimer()
     key = jax.random.PRNGKey(cfg.get("global_seed", 42))
-    max_steps = cfg.get("max_train_steps", cfg.get("max_train_epoch", 20) * max(len(dataset), 1))
     ckpt_every = cfg.get("checkpointing_steps", 1000)
+    validation_steps = cfg.get("validation_steps", 0)
+    validation_tuple = tuple(cfg.get("validation_steps_tuple", ()))
 
-    from animate3d_tpu.utils.saving import save_videos_grid
+    from animate3d_tpu.utils.saving import export_to_gif_mv, save_videos_grid
+
+    def run_validation(step, params, raw, val_key):
+        """Periodic validation sampling on the first video's conditioning
+        (train.py:647-676): frame-0 renders → DDIM sample → 4-view GIF."""
+        from animate3d_tpu.models.diffusion import DDIMScheduler, SchedulerConfig
+        from animate3d_tpu.pipelines.mv_sampler import (
+            MVSampler,
+            MVSamplerConfig,
+            decode_video,
+            encode_conditioning_images,
+        )
+
+        n, f = raw["pixel_values"].shape[1:3]
+        frame0 = jnp.asarray(raw["pixel_values"][0, :, 0])  # (n, H, W, 3) ∈ [-1,1]
+        ffl = encode_conditioning_images(
+            lambda p, x: vae.apply(p, x, method=AutoencoderKL.encode_mode),
+            vae_params, frame0)
+        if encode_captions is not None:
+            cap = encode_captions([raw["text"][0]])[0]
+            text_cond = jnp.asarray(np.tile(cap[None], (n, 1, 1)))
+            text_uncond = jnp.asarray(np.tile(null_ctx_row[None], (n, 1, 1)))
+        else:
+            text_cond = text_uncond = jnp.zeros((n, 77, ctx_dim))
+        if encode_frame0 is not None:
+            ie = encode_frame0((frame0 + 1.0) / 2.0).astype(jnp.float32)
+        else:
+            ie = jnp.zeros((n, img_dim))
+        scfg = MVSamplerConfig(
+            num_inference_steps=cfg.get("validation_num_steps", 25),
+            num_views=n, num_frames=f, height=sample_size, width=sample_size,
+            vae_scale_factor=2 ** (len(vae_cfg.block_out_channels) - 1),
+            freeinit_enabled=False,
+            i2v_cond_time_zero=tcfg.i2v_cond_time_zero)
+        sampler = MVSampler(unet_apply, scfg, DDIMScheduler.create(SchedulerConfig()))
+        latents = sampler.sample(val_key, params, ffl, text_cond, text_uncond, ie)
+        video = decode_video(
+            lambda p, z: vae.apply(p, z, method=AutoencoderKL.decode),
+            vae_params, latents)
+        os.makedirs(os.path.join(out_dir, "samples"), exist_ok=True)
+        out = os.path.join(out_dir, "samples", f"sample-{step}.gif")
+        export_to_gif_mv(np.asarray(video), out)
+        print(f"[val] wrote {out}")
 
     null_text = jnp.zeros((batch_size * n_views, 77, ctx_dim))
     for step in range(start_step, max_steps):
@@ -235,6 +284,10 @@ def main(argv=None) -> None:
         if step % 10 == 0:
             print(f"[{step}/{max_steps}] loss={float(metrics['loss']):.5f} "
                   f"({timer.last:.2f}s/it)")
+        if ((validation_steps and (step + 1) % validation_steps == 0)
+                or (step + 1) in validation_tuple):
+            key, k_val = jax.random.split(key)
+            run_validation(step + 1, unet_params, raw, k_val)
         if (step + 1) % ckpt_every == 0 or step + 1 == max_steps:
             save_checkpoint(ckpt_dir, step + 1, {
                 "params": unet_params, "opt_state": opt_state, "step": step + 1})

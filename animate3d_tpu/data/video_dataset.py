@@ -32,7 +32,37 @@ class MVideoConfig:
     elevation: float = 15.0
 
 
+def _frame_paths_for(path: str, indices: np.ndarray):
+    """For image-sequence items (a directory of frames, or one still image),
+    the per-index file list; None for container formats (mp4)."""
+    if os.path.isdir(path):
+        names = sorted(
+            (n for n in os.listdir(path)
+             if n.lower().endswith((".png", ".jpg", ".jpeg"))),
+            key=lambda x: (len(x), x))
+        if not names:
+            return None
+        return [os.path.join(path, names[min(int(i), len(names) - 1)])
+                for i in indices]
+    if path.lower().endswith((".png", ".jpg", ".jpeg")):
+        return [path] * len(indices)
+    return None
+
+
 def _read_video_frames(path: str, indices: np.ndarray, size: int) -> np.ndarray:
+    """(len(indices), size, size, 3) float32 in [-1, 1].
+
+    Image sequences go through the native parallel decoder
+    (data/native_loader.py) when built; mp4 and fallback decode via
+    imageio/PIL (the decord replacement, dataset.py:57-65)."""
+    frame_files = _frame_paths_for(path, indices)
+    if frame_files is not None:
+        from animate3d_tpu.data import native_loader
+
+        native = native_loader.decode_images(frame_files, size)
+        if native is not None:
+            return native
+
     import imageio.v3 as iio
     from PIL import Image
 
@@ -46,7 +76,7 @@ def _read_video_frames(path: str, indices: np.ndarray, size: int) -> np.ndarray:
         if f.shape[0] != size or f.shape[1] != size:
             f = np.asarray(Image.fromarray(f).resize((size, size), Image.LANCZOS))
         out.append(f[..., :3])
-    return np.stack(out)
+    return np.stack(out).astype(np.float32) / 127.5 - 1.0
 
 
 class MVideoDataset:
@@ -72,8 +102,7 @@ class MVideoDataset:
         videos = []
         for rel in item["videos"][: cfg.num_views]:
             path = os.path.join(cfg.video_root, rel)
-            frames = _read_video_frames(path, indices, cfg.sample_size)
-            videos.append(frames.astype(np.float32) / 127.5 - 1.0)
+            videos.append(_read_video_frames(path, indices, cfg.sample_size))
         pixel_values = np.stack(videos)  # (N, F, H, W, 3) in [-1, 1]
 
         cameras = get_camera(cfg.num_views, elevation=cfg.elevation,

@@ -4,16 +4,18 @@ Replaces xformers ``memory_efficient_attention`` (used by every attention
 processor in the reference, attention_processor.py:103,233,268,405,416,656,691).
 
 Two paths:
-  * ``attention_xla`` — einsum + fp32 softmax; always correct; used on CPU,
-    for small sequences, and as the backward path.
-  * ``flash_attention`` — Pallas TPU kernel with online softmax, never
-    materializing the (Sq, Sk) score matrix in HBM. Head dims (40/80/160 for
-    SD1.5 heads) are zero-padded to the 128-lane width inside the kernel.
+  * ``attention_xla`` — einsum + fp32 softmax; always correct; used on CPU
+    and for small sequences.
+  * ``flash_attention`` — Pallas TPU kernels with online softmax, never
+    materializing the (Sq, Sk) score matrix in HBM: forward saves the
+    log-sum-exp; backward is the FlashAttention-2 recurrence as two kernels
+    (dq streaming k-blocks; dk/dv streaming q-blocks, probabilities rebuilt
+    in VMEM from the lse). Head dims (40/80/160 for SD1.5 heads) are
+    zero-padded to the 128-lane width inside the kernels.
 
 The public entry is :func:`multi_head_attention` which takes merged-head
 inputs (B, S, H*D) like the reference's Attention module, picks a backend,
-and is differentiable (flash forward pairs with an XLA backward via
-``jax.custom_vjp``).
+and is differentiable end-to-end via ``jax.custom_vjp``.
 """
 
 from __future__ import annotations
@@ -51,7 +53,7 @@ def attention_xla(
 # ---------------------------------------------------------------------------
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
                   *, scale: float):
     """Grid (bh, q_block, k_block): K/V stream through VMEM one block at a
     time (k innermost, sequential on-core); online-softmax state lives in
@@ -82,7 +84,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref,
 
     @pl.when(k_idx == nk - 1)
     def _():
-        o_ref[0] = (acc_ref[:] / jnp.maximum(l_ref[:], 1e-30)).astype(o_ref.dtype)
+        l_safe = jnp.maximum(l_ref[:], 1e-30)
+        o_ref[0] = (acc_ref[:] / l_safe).astype(o_ref.dtype)
+        lse_ref[0] = m_ref[:] + jnp.log(l_safe)
 
 
 def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -94,7 +98,7 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-def _flash_kernel_wholek(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+def _flash_kernel_wholek(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
                          block_k: int):
     """Single-program variant: the whole K/V lives in VMEM (fastest when it
     fits — no per-k-block grid revisits of the softmax scratch)."""
@@ -120,14 +124,16 @@ def _flash_kernel_wholek(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             jnp.full((bq, 1), -jnp.inf, jnp.float32),
             jnp.zeros((bq, 1), jnp.float32))
     acc, m, l = jax.lax.fori_loop(0, sk // block_k, body, init)
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l_safe)
 
 
 def _flash_attention_fwd_impl(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, scale: float,
     block_q: int = 256, block_k: int = 512,
-) -> jnp.ndarray:
-    """(B, H, S, D) flash attention forward on TPU."""
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(B, H, S, D) flash attention forward on TPU → (out, lse (B, H, S))."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     # fold batch and heads; pad D to lane width, S to block multiples
@@ -140,11 +146,18 @@ def _flash_attention_fwd_impl(
 
     sq_p = qf.shape[1]
     dp = qf.shape[2]
+    interpret = jax.default_backend() != "tpu"
+    out_shapes = [
+        jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+        jax.ShapeDtypeStruct((b * h, sq_p, 1), jnp.float32),  # log-sum-exp
+    ]
+    lse_spec = pl.BlockSpec((1, block_q, 1), lambda i, j, *_: (i, j, 0),
+                            memory_space=pltpu.VMEM)
 
     # whole-K variant when K/V fit comfortably in VMEM
     kv_bytes = 2 * sk * dp * kf.dtype.itemsize
     if kv_bytes <= 4 * 1024 * 1024:
-        out = pl.pallas_call(
+        out, lse = pl.pallas_call(
             functools.partial(_flash_kernel_wholek, scale=scale, block_k=block_k),
             grid=(b * h, sq_p // block_q),
             in_specs=[
@@ -155,14 +168,19 @@ def _flash_attention_fwd_impl(
                 pl.BlockSpec((1, sk, dp), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+            out_specs=[
+                pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                lse_spec,
+            ],
+            out_shape=out_shapes,
+            interpret=interpret,
         )(qf, kf, vf)
-        return out[:, :sq, :d].reshape(b, h, sq, d)
+        return (out[:, :sq, :d].reshape(b, h, sq, d),
+                lse[:, :sq, 0].reshape(b, h, sq))
 
     grid = (b * h, sq_p // block_q, sk // block_k)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_flash_kernel, scale=scale),
         grid=grid,
         in_specs=[
@@ -173,9 +191,12 @@ def _flash_attention_fwd_impl(
             pl.BlockSpec((1, block_k, dp), lambda i, j, kk: (i, kk, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block_q, dp), lambda i, j, kk: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_p, dp), q.dtype),
+        out_specs=[
+            pl.BlockSpec((1, block_q, dp), lambda i, j, kk: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            lse_spec,
+        ],
+        out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((block_q, dp), jnp.float32),  # acc
             pltpu.VMEM((block_q, 1), jnp.float32),  # running max
@@ -184,23 +205,168 @@ def _flash_attention_fwd_impl(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
+        interpret=interpret,
     )(qf, kf, vf)
-    return out[:, :sq, :d].reshape(b, h, sq, d)
+    return (out[:, :sq, :d].reshape(b, h, sq, d),
+            lse[:, :sq, 0].reshape(b, h, sq))
+
+
+# ---------------------------------------------------------------------------
+# Flash attention backward (FlashAttention-2 recurrences, two Pallas kernels)
+#
+#   S = qkᵀ·scale,  P = exp(S − lse),  dP = dO vᵀ,
+#   dS = P ⊙ (dP − Δ)  with  Δ_i = Σ_d dO_id O_id,
+#   dq = dS k·scale,  dk = dSᵀ q·scale,  dv = Pᵀ dO.
+#
+# Never materializes (Sq, Sk) in HBM: each program rebuilds P for one
+# (q-block, k-block) cell in VMEM from q/k and the forward's lse. Zero-padded
+# q rows (dO = 0 there) contribute nothing to dk/dv.
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, acc_ref, *, scale: float):
+    k_idx = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(k_idx == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]  # (BQ, D)
+    k_blk = k_ref[0]  # (BK, D)
+    v_blk = v_ref[0]
+    do = do_ref[0]  # (BQ, D)
+    lse = lse_ref[0]  # (BQ, 1)
+    delta = delta_ref[0]  # (BQ, 1)
+
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)
+    dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    acc_ref[:] = acc_ref[:] + jnp.dot(
+        ds.astype(q.dtype), k_blk, preferred_element_type=jnp.float32)
+
+    @pl.when(k_idx == nk - 1)
+    def _():
+        dq_ref[0] = (acc_ref[:] * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, dk_acc, dv_acc, *, scale: float):
+    q_idx = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(q_idx == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    q = q_ref[0]  # (BQ, D)
+    k_blk = k_ref[0]  # (BK, D)
+    v_blk = v_ref[0]
+    do = do_ref[0]
+    lse = lse_ref[0]  # (BQ, 1)
+    delta = delta_ref[0]  # (BQ, 1)
+
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
+    p = jnp.exp(s - lse)  # (BQ, BK)
+    dv_acc[:] = dv_acc[:] + jnp.dot(p.astype(do.dtype).T, do,
+                                    preferred_element_type=jnp.float32)
+    dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - delta)
+    dk_acc[:] = dk_acc[:] + jnp.dot(ds.astype(q.dtype).T, q,
+                                    preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == nq - 1)
+    def _():
+        dk_ref[0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _flash_attention_bwd_impl(q, k, v, out, lse, g, scale: float,
+                              block_q: int = 256, block_k: int = 512):
+    """(dq, dk, dv) via the two Pallas kernels; shapes as (B, H, S, D)."""
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+
+    qf = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, 128), 1, block_q)
+    dof = _pad_to(_pad_to(g.reshape(b * h, sq, d).astype(q.dtype), 2, 128),
+                  1, block_q)
+    kf = _pad_to(k.reshape(b * h, sk, d), 2, 128)
+    vf = _pad_to(v.reshape(b * h, sk, d), 2, 128)
+    # lse for padded q rows must stay finite (exp(0 − lse) must not overflow)
+    lsef = _pad_to(lse.reshape(b * h, sq, 1), 1, block_q)
+    deltaf = _pad_to(delta.reshape(b * h, sq, 1), 1, block_q)
+
+    sq_p = qf.shape[1]
+    dp_ = qf.shape[2]
+    interpret = jax.default_backend() != "tpu"
+    bh = b * h
+    nq = sq_p // block_q
+    nk = sk // block_k
+
+    q_spec = pl.BlockSpec((1, block_q, dp_), lambda i, j, kk: (i, j, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, dp_), lambda i, j, kk: (i, kk, 0),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, block_q, 1), lambda i, j, kk: (i, j, 0),
+                            memory_space=pltpu.VMEM)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(bh, nq, nk),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((bh, sq_p, dp_), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, dp_), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    # dk/dv: iterate q blocks innermost, k blocks parallel
+    q_spec2 = pl.BlockSpec((1, block_q, dp_), lambda i, kk, j: (i, j, 0),
+                           memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, block_k, dp_), lambda i, kk, j: (i, kk, 0),
+                            memory_space=pltpu.VMEM)
+    row_spec2 = pl.BlockSpec((1, block_q, 1), lambda i, kk, j: (i, j, 0),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(bh, nk, nq),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2],
+        out_specs=[kv_spec2, kv_spec2],
+        out_shape=[jax.ShapeDtypeStruct((bh, sk, dp_), k.dtype),
+                   jax.ShapeDtypeStruct((bh, sk, dp_), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, dp_), jnp.float32),
+                        pltpu.VMEM((block_k, dp_), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, deltaf)
+
+    dq = dq[:, :sq, :d].reshape(b, h, sq, d)
+    dk = dk[:, :, :d].reshape(b, h, sk, d)
+    dv = dv[:, :, :d].reshape(b, h, sk, d)
+    return dq, dk, dv
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _flash_attention(q, k, v, scale):
-    return _flash_attention_fwd_impl(q, k, v, scale)
+    out, _ = _flash_attention_fwd_impl(q, k, v, scale)
+    return out
 
 
 def _flash_fwd(q, k, v, scale):
-    return _flash_attention_fwd_impl(q, k, v, scale), (q, k, v)
+    out, lse = _flash_attention_fwd_impl(q, k, v, scale)
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, scale), q, k, v)
-    return vjp(g)
+    q, k, v, out, lse = res
+    return _flash_attention_bwd_impl(q, k, v, out, lse, g, scale)
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -233,6 +399,23 @@ def attention_backend(name: str):
         _backend_override.name = prev
 
 
+@contextlib.contextmanager
+def sp_ring(mesh, axis_name: str = "sp"):
+    """Route self-attention traced in this scope through sequence-parallel
+    ring attention over ``mesh``'s ``axis_name`` (parallel/sp_attention.py):
+    the token axis is sharded across chips and K/V rotate over the ICI ring.
+
+    The >reference-scale path (more views / frames / resolution than fits one
+    chip); sequences not divisible by the axis size fall back to the local
+    backends transparently (e.g. the 77-token text cross-attention)."""
+    prev = getattr(_backend_override, "sp", None)
+    _backend_override.sp = (mesh, axis_name)
+    try:
+        yield
+    finally:
+        _backend_override.sp = prev
+
+
 def multi_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -248,6 +431,16 @@ def multi_head_attention(
     d = q.shape[-1] // num_heads
     if scale is None:
         scale = d ** -0.5
+    sp = getattr(_backend_override, "sp", None)
+    if sp is not None:
+        mesh, axis_name = sp
+        n_sp = mesh.shape[axis_name]
+        if (q.shape == k.shape and q.shape[1] % n_sp == 0
+                and q.shape[1] >= 2 * n_sp):
+            from animate3d_tpu.parallel.sp_attention import ring_attention_sharded
+
+            return ring_attention_sharded(mesh, q, k, v, num_heads, scale,
+                                          axis_name)
     qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
     use_flash = False
     if backend == "flash":

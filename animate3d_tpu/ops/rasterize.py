@@ -7,20 +7,20 @@ with an XLA/Pallas design built around *fixed shapes*:
   1. Project all N gaussians (EWA splatting: view transform, perspective
      Jacobian, 2D covariance + 0.3 px dilation, 3σ radius) — one fused
      elementwise pass.
-  2. Tile binning: for every image tile (16×16 px), select up to K
-     intersecting gaussians front-to-back via a single ``top_k`` over depth
-     (masked by tile-overlap) — fixed K instead of the CUDA version's
-     variable-length per-tile lists.
-  3. Composite each tile over its K gaussians with an exclusive cumulative
-     transmittance product — differentiable by construction, so the backward
-     pass is XLA autodiff instead of a hand-written CUDA kernel.
+  2. Tile binning: hierarchical coarse→fine selection of up to K
+     intersecting gaussians per 16×16 tile, front-to-back — fixed K (with
+     overflow accounting) instead of the CUDA version's variable-length
+     per-tile lists. Selection uses ``approx_max_k`` by default (TPU sort is
+     ~30× slower; see RasterConfig.approx_binning).
+  3. Composite each tile over its K gaussians, front to back. On TPU this is
+     the K-on-lanes Pallas kernel pair in ops/rasterize_pallas.py (fwd +
+     hand-derived bwd, prefix-scan transmittance, MXU accumulation); the
+     XLA compositor below is the CPU/debug mirror with identical math, so
+     gradients agree between backends.
 
 Semantics (culling thresholds, dilation, alpha clamps, ndc2pix convention,
 SH evaluation, depth/alpha accumulation) follow the Inria kernel + ashawkey
-depth/alpha fork the reference installs (docs/install.md:18-20).
-
-All math fp32. The compositing stage also has a Pallas kernel variant
-(ops/rasterize_pallas.py) used on TPU for the forward pass.
+depth/alpha fork the reference installs (docs/install.md:18-20). All math fp32.
 """
 
 from __future__ import annotations
@@ -48,6 +48,19 @@ class RasterConfig(NamedTuple):
     alpha_min: float = 1.0 / 255.0
     alpha_max: float = 0.99
     sh_degree: int = 0
+    # hierarchical binning: coarse tiles of (coarse × tile)² pixels pre-select
+    # coarse_k depth-nearest gaussians; fine tiles then compact their first
+    # max_per_tile hits from the (already depth-sorted) coarse list. 0 ⇒ flat
+    # per-tile top_k over all N.
+    coarse: int = 4
+    coarse_k: int = 1024
+    # TPU sort is slow (~10-20 ms per top_k call at these shapes);
+    # approx_max_k runs ~30× faster and still returns an exactly-sorted list,
+    # just sampled at `recall_target` recall — a ≤(1−recall) random subset of
+    # per-tile gaussians may be dropped (counted by `overflow` only when the
+    # K cap truncates). Set approx_binning=False for bit-exact parity tests.
+    approx_binning: bool = True
+    recall_target: float = 0.99
 
     @property
     def tiles_x(self) -> int:
@@ -172,10 +185,135 @@ def project_gaussians(
     return Projected(mean2d=mean2d, depth=depth, conic=conic, radius=radius, valid=valid)
 
 
-def _tile_select(proj: Projected, cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """For each tile, indices of ≤K front-to-back gaussians + validity mask.
 
-    Returns (idx (T, K) int32, ok (T, K) bool)."""
+def _select_k(neg_score: jnp.ndarray, k: int, cfg: RasterConfig):
+    """Top-k by descending neg_score (ascending depth), exactly sorted.
+
+    approx_max_k (default) runs a fast partial reduction then an exact
+    aggregation — output order is exact, membership has `recall_target`
+    recall. Exact top_k is the bit-exact fallback."""
+    if cfg.approx_binning and neg_score.shape[-1] > 4 * k:
+        return jax.lax.approx_max_k(neg_score, k,
+                                    recall_target=cfg.recall_target)
+    return jax.lax.top_k(neg_score, k)
+
+
+def _tile_select_hier(proj: Projected, cfg: RasterConfig
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Hierarchical tile binning: coarse depth-sorted candidate lists, then
+    per-fine-tile first-K compaction.
+
+    The flat version runs one masked ``top_k`` over all N per fine tile —
+    the dominant binning cost. Here each coarse tile (``cfg.coarse``² fine
+    tiles) runs ONE top_k over N keeping its ``coarse_k`` nearest gaussians
+    (sorted front-to-back); each fine tile then selects the first
+    ``max_per_tile`` *hits* from its coarse list with a tiny top_k over
+    candidate positions (order already depth-sorted). ~coarse²× less top_k
+    work over N.
+
+    Returns (idx (T, K) int32, ok (T, K) bool, overflow () int32 — dropped
+    gaussian·tile pairs from either the fine K cap or coarse_k truncation,
+    the accounting the CUDA rasterizer's unbounded lists never need)."""
+    t = cfg.tile
+    ty, tx = cfg.tiles_y, cfg.tiles_x
+    cs = cfg.coarse
+    cty = -(-ty // cs)
+    ctx_ = -(-tx // cs)
+    n = proj.depth.shape[0]
+    big = jnp.float32(1e10)
+    depth = jnp.where(proj.valid, proj.depth, big)
+
+    x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    r = proj.radius
+    gx0, gx1 = x - r, x + r
+    gy0, gy1 = y - r, y + r
+
+    kc = min(cfg.coarse_k, n)
+
+    # --- coarse pass (chunked over coarse tiles) ---
+    c_ids = jnp.arange(cty * ctx_, dtype=jnp.int32)
+    c_x0 = (c_ids % ctx_) * (cs * t)
+    c_y0 = (c_ids // ctx_) * (cs * t)
+    ext = cs * t
+
+    def coarse_chunk(args):
+        cx0, cy0 = args  # (C,)
+        ov = (
+            (gx1[None, :] >= cx0[:, None])
+            & (gx0[None, :] < (cx0[:, None] + ext))
+            & (gy1[None, :] >= cy0[:, None])
+            & (gy0[None, :] < (cy0[:, None] + ext))
+            & proj.valid[None, :]
+        )
+        score = jnp.where(ov, depth[None, :], big)
+        neg, idx = _select_k(-score, kc, cfg)  # sorted front-to-back
+        return (idx.astype(jnp.int32), (-neg) < big,
+                jnp.sum(ov, axis=1).astype(jnp.int32))
+
+    cchunk = max(1, min(cfg.tile_chunk, cty * ctx_))
+    n_ct = cty * ctx_
+    padc = (-n_ct) % cchunk
+    cx0p = jnp.pad(c_x0, (0, padc)).reshape(-1, cchunk)
+    cy0p = jnp.pad(c_y0, (0, padc)).reshape(-1, cchunk)
+    cidx, cok, c_count = jax.lax.map(coarse_chunk, (cx0p, cy0p))
+    cidx = cidx.reshape(-1, kc)[:n_ct]
+    cok = cok.reshape(-1, kc)[:n_ct]
+    c_count = c_count.reshape(-1)[:n_ct]
+
+    # --- fine pass: first-K hits from the (sorted) coarse candidates ---
+    f_ids = jnp.arange(ty * tx, dtype=jnp.int32)
+    f_x0 = ((f_ids % tx) * t).astype(jnp.float32)
+    f_y0 = ((f_ids // tx) * t).astype(jnp.float32)
+    c_of_f = ((f_ids // tx) // cs) * ctx_ + (f_ids % tx) // cs
+
+    cand = cidx[c_of_f]  # (T, kc)
+    cand_ok = cok[c_of_f]
+    kk = min(cfg.max_per_tile, kc)
+
+    def fine_chunk(args):
+        fc, fok, fx0, fy0 = args  # (C, kc), (C, kc), (C,), (C,)
+        ov = (
+            (gx1[fc] >= fx0[:, None])
+            & (gx0[fc] < (fx0[:, None] + t))
+            & (gy1[fc] >= fy0[:, None])
+            & (gy0[fc] < (fy0[:, None] + t))
+            & fok
+        )
+        pos = jnp.arange(kc, dtype=jnp.float32)
+        key = jnp.where(ov, -pos[None, :], -big)
+        vals, sel = _select_k(key, kk, cfg)  # earliest (nearest) hits first
+        ok = vals > -big * 0.5
+        idx = jnp.take_along_axis(fc, sel, axis=1)
+        return idx, ok, jnp.sum(ov, axis=1).astype(jnp.int32)
+
+    fchunk = max(1, min(cfg.tile_chunk * 4, ty * tx))
+    n_t = ty * tx
+    padf = (-n_t) % fchunk
+    pad2 = lambda a: jnp.pad(a, ((0, padf), (0, 0))).reshape(-1, fchunk, a.shape[1])
+    idx, ok, f_count = jax.lax.map(
+        fine_chunk,
+        (pad2(cand), pad2(cand_ok),
+         jnp.pad(f_x0, (0, padf)).reshape(-1, fchunk),
+         jnp.pad(f_y0, (0, padf)).reshape(-1, fchunk)))
+    idx = idx.reshape(-1, kk)[:n_t]
+    ok = ok.reshape(-1, kk)[:n_t]
+    f_count = f_count.reshape(-1)[:n_t]
+
+    if kk < cfg.max_per_tile:
+        padk = cfg.max_per_tile - kk
+        idx = jnp.pad(idx, ((0, 0), (0, padk)))
+        ok = jnp.pad(ok, ((0, 0), (0, padk)))
+
+    overflow = (jnp.sum(jnp.maximum(f_count - kk, 0))
+                + jnp.sum(jnp.maximum(c_count - kc, 0)))
+    return idx, ok, overflow
+
+
+def _tile_select(proj: Projected, cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """For each tile, indices of ≤K front-to-back gaussians + validity mask
+    (flat variant: one masked top_k over all N per tile).
+
+    Returns (idx (T, K) int32, ok (T, K) bool, overflow () int32)."""
     ty = cfg.tiles_y
     tx = cfg.tiles_x
     t = cfg.tile
@@ -203,23 +341,25 @@ def _tile_select(proj: Projected, cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.n
             & proj.valid[None, :]
         )
         score = jnp.where(overlap, depth[None, :], big)
-        neg, idx = jax.lax.top_k(-score, kk)
+        neg, idx = _select_k(-score, kk, cfg)
         ok = (-neg) < big
         if kk < cfg.max_per_tile:
             padk = cfg.max_per_tile - kk
             idx = jnp.pad(idx, ((0, 0), (0, padk)))
             ok = jnp.pad(ok, ((0, 0), (0, padk)))
-        return idx.astype(jnp.int32), ok
+        return idx.astype(jnp.int32), ok, jnp.sum(overlap, axis=1).astype(jnp.int32)
 
     c = cfg.tile_chunk
     n_tiles = ty * tx
     pad = (-n_tiles) % c
     cx0 = jnp.pad(tile_x0, (0, pad)).reshape(-1, c)
     cy0 = jnp.pad(tile_y0, (0, pad)).reshape(-1, c)
-    idx, ok = jax.lax.map(per_chunk, (cx0, cy0))
+    idx, ok, count = jax.lax.map(per_chunk, (cx0, cy0))
     idx = idx.reshape(-1, cfg.max_per_tile)[:n_tiles]
     ok = ok.reshape(-1, cfg.max_per_tile)[:n_tiles]
-    return idx, ok
+    count = count.reshape(-1)[:n_tiles]
+    overflow = jnp.sum(jnp.maximum(count - kk, 0))
+    return idx, ok, overflow
 
 
 def _composite(
@@ -297,81 +437,37 @@ def _composite(
     return untile(rgb), untile(depth_im), untile(acc)
 
 
-def _composite_records_xla(records: jnp.ndarray, origins: jnp.ndarray,
-                           tile: int, alpha_min: float, alpha_max: float,
-                           chunk: int = 32) -> jnp.ndarray:
-    """Differentiable XLA mirror of the Pallas compositing kernel: packed
-    records (T, K, 12) → (T, 8, tile²) channel planes. Used as the Pallas
-    forward's backward pass (identical math ⇒ identical gradients)."""
-    t, k, _ = records.shape
-    px_lin = jnp.arange(tile * tile, dtype=jnp.float32)
-    pxx = jnp.mod(px_lin, tile)
-    pyy = jnp.floor(px_lin / tile)
-
-    def per_chunk(args):
-        rec, org = args  # (C, K, 12), (C, 2)
-        gx = org[:, 0:1] + pxx[None]  # (C, PX)
-        gy = org[:, 1:2] + pyy[None]
-        dx = rec[:, :, 0:1] - gx[:, None, :]  # (C, K, PX)
-        dy = rec[:, :, 1:2] - gy[:, None, :]
-        power = (-0.5 * (rec[:, :, 2:3] * dx * dx + rec[:, :, 4:5] * dy * dy)
-                 - rec[:, :, 3:4] * dx * dy)
-        alpha = jnp.minimum(alpha_max, rec[:, :, 5:6] * jnp.exp(power))
-        alpha = jnp.where(power > 0.0, 0.0, alpha)
-        alpha = jnp.where(alpha < alpha_min, 0.0, alpha)
-        alpha = alpha * rec[:, :, 10:11]
-        T_incl = jnp.cumprod(1.0 - alpha, axis=1)
-        T_excl = jnp.concatenate(
-            [jnp.ones_like(T_incl[:, :1]), T_incl[:, :-1]], axis=1)
-        w = alpha * T_excl  # (C, K, PX)
-        r = jnp.sum(w * rec[:, :, 6:7], axis=1)
-        g = jnp.sum(w * rec[:, :, 7:8], axis=1)
-        b = jnp.sum(w * rec[:, :, 8:9], axis=1)
-        d = jnp.sum(w * rec[:, :, 9:10], axis=1)
-        a = jnp.sum(w, axis=1)
-        Tf = T_incl[:, -1]
-        z = jnp.zeros_like(a)
-        return jnp.stack([r, g, b, a, d, Tf, z, z], axis=1)  # (C, 8, PX)
-
-    pad = (-t) % chunk
-    rec = jnp.pad(records, ((0, pad), (0, 0), (0, 0)))
-    org = jnp.pad(origins, ((0, pad), (0, 0)))
-    out = jax.lax.map(per_chunk, (rec.reshape(-1, chunk, k, RECORD_WIDTH),
-                                  org.reshape(-1, chunk, 2)))
-    return out.reshape(-1, 8, tile * tile)[:t]
-
-
-RECORD_WIDTH = 12
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
-def _composite_records(records, origins, tile, alpha_min, alpha_max):
-    """Pallas forward / XLA-autodiff backward compositing over packed records."""
-    from animate3d_tpu.ops.rasterize_pallas import composite_tiles_pallas
+def _composite_fields(fields, origins, tile, alpha_min, alpha_max):
+    """Pallas K-on-lanes compositing (fwd + hand-derived bwd kernels over the
+    (T, 12, K) per-tile field layout; ops/rasterize_pallas.py)."""
+    from animate3d_tpu.ops.rasterize_pallas import composite_fields_pallas
 
     interpret = jax.default_backend() != "tpu"
-    return composite_tiles_pallas(origins, records, tile=tile,
-                                  alpha_min=alpha_min, alpha_max=alpha_max,
-                                  interpret=interpret)
+    return composite_fields_pallas(origins, fields, tile=tile,
+                                   alpha_min=alpha_min, alpha_max=alpha_max,
+                                   interpret=interpret)
 
 
-def _composite_records_fwd(records, origins, tile, alpha_min, alpha_max):
-    out = _composite_records(records, origins, tile, alpha_min, alpha_max)
-    return out, (records, origins, out[:, 5, :])
+def _composite_fields_fwd(fields, origins, tile, alpha_min, alpha_max):
+    out = _composite_fields(fields, origins, tile, alpha_min, alpha_max)
+    return out, (fields, origins)
 
 
-def _composite_records_bwd(tile, alpha_min, alpha_max, res, g):
-    records, origins, tfinal = res
-    from animate3d_tpu.ops.rasterize_pallas import composite_tiles_pallas_bwd
+def _composite_fields_bwd(tile, alpha_min, alpha_max, res, g):
+    fields, origins = res
+    from animate3d_tpu.ops.rasterize_pallas import composite_fields_pallas_bwd
 
     interpret = jax.default_backend() != "tpu"
-    grad = composite_tiles_pallas_bwd(origins, records, tfinal, g, tile=tile,
-                                      alpha_min=alpha_min, alpha_max=alpha_max,
-                                      interpret=interpret)
+    grad = composite_fields_pallas_bwd(origins, fields, g, tile=tile,
+                                       alpha_min=alpha_min, alpha_max=alpha_max,
+                                       interpret=interpret)
     return grad, jnp.zeros_like(origins)
 
 
-_composite_records.defvjp(_composite_records_fwd, _composite_records_bwd)
+_composite_fields.defvjp(_composite_fields_fwd, _composite_fields_bwd)
 
 
 class RenderOutput(NamedTuple):
@@ -380,6 +476,8 @@ class RenderOutput(NamedTuple):
     alpha: jnp.ndarray  # (H, W)
     radii: jnp.ndarray  # (N,)
     mean2d: jnp.ndarray  # (N, 2) pixel coords (screenspace grads source)
+    overflow: jnp.ndarray = jnp.zeros((), jnp.int32)  # dropped gaussian·tile
+    # pairs (K-cap/coarse-k truncation) — 0 means the fixed-K render is exact
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "active_sh_degree", "backend"))
@@ -419,20 +517,23 @@ def rasterize(
     else:
         colors = colors_precomp
 
-    idx, ok = _tile_select(proj, cfg)
+    if cfg.coarse > 0 and cfg.tiles_x * cfg.tiles_y > cfg.coarse ** 2:
+        idx, ok, overflow = _tile_select_hier(proj, cfg)
+    else:
+        idx, ok, overflow = _tile_select(proj, cfg)
 
     use_pallas = backend == "pallas" or (
         backend == "auto" and jax.default_backend() == "tpu" and cfg.tile == 16)
     if use_pallas:
-        from animate3d_tpu.ops.rasterize_pallas import pack_records
+        from animate3d_tpu.ops.rasterize_pallas import pack_fields
 
-        records = pack_records(proj, colors, opacity, idx, ok)
-        t_tiles = records.shape[0]
+        fields = pack_fields(proj, colors, opacity, idx, ok)
+        t_tiles = fields.shape[0]
         tile_ids = jnp.arange(t_tiles, dtype=jnp.float32)
         origins = jnp.stack([(tile_ids % cfg.tiles_x) * cfg.tile,
                              (tile_ids // cfg.tiles_x) * cfg.tile], axis=1)
-        planes = _composite_records(records, origins, cfg.tile,
-                                    cfg.alpha_min, cfg.alpha_max)
+        planes = _composite_fields(fields, origins, cfg.tile,
+                                   cfg.alpha_min, cfg.alpha_max)
 
         def untile(a):  # (T, PX) → (H, W)
             a = a.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile, cfg.tile)
@@ -448,4 +549,4 @@ def rasterize(
     else:
         rgb, depth, alpha = _composite(proj, colors, opacity, bg, idx, ok, cfg)
     return RenderOutput(rgb=rgb, depth=depth, alpha=alpha, radii=proj.radius,
-                        mean2d=proj.mean2d)
+                        mean2d=proj.mean2d, overflow=overflow)

@@ -1,258 +1,294 @@
-"""Pallas TPU kernel for the gaussian-splat tile compositing stage.
+"""Pallas TPU kernels for the gaussian-splat tile compositing stage
+(fwd + hand-derived bwd), replacing the CUDA rasterizer's per-tile
+warp loops (diff-gaussian-rasterization; SURVEY.md §2.2).
 
-Replaces the XLA `_composite` in ops/rasterize.py on TPU: each program
-composites G image tiles over their K depth-sorted gaussians entirely in
-VMEM — the (pixels × K) alpha matrices never round-trip to HBM, and the
-sequential transmittance product runs as a fori_loop over K with (G, 256)
-pixel vectors on the VPU (the TPU analogue of the CUDA kernel's
-warp-per-pixel loop).
+K-on-lanes design: a naive kernel walks gaussians one at a time — K
+sequential VPU steps per tile (the CUDA kernel's structure). These kernels
+put K on the LANE axis instead:
 
-Inputs are the packed per-tile records produced by the XLA binning stage
-(one gather): [x, y, conic_a, conic_b, conic_c, opacity, r, g, b, depth, ok].
+  * alpha for a whole 128-gaussian block computed at once as (256 px, 128);
+  * the order-dependent transmittance product becomes a log2(128)-step
+    Hillis-Steele prefix scan of lane rolls;
+  * color/depth accumulation (fwd) and the color/field gradient reductions
+    (bwd) become (256, 128) x (128, 4) MXU contractions;
+  * the backward's suffix sums S_k = sum_{j>k} dw_j w_j become one reverse
+    lane scan per block instead of K sequential accumulations.
 
-Gradients: the public entry pairs this forward with the differentiable XLA
-compositor as the backward (jax.custom_vjp) — identical math, so gradients
-match rasterize()'s autodiff exactly.
+Sequential depth (the only part that cannot parallelize) drops from K steps
+to K/128 block steps.
+
+Field layout (T, 12, K) fp32 rows: 0 x, 1 y, 2-4 conic(a,b,c), 5 opacity,
+6-8 rgb, 9 depth, 10 ok, 11 pad.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-RECORD = 12  # padded record width (11 used)
-PX = 256  # pixels per 16x16 tile
+NFIELD = 12
 
 
-def _composite_kernel(origins_ref, records_ref, out_ref, *, k_max: int,
-                      tile: int, alpha_min: float, alpha_max: float):
-    """One program: G tiles × K gaussians → (G, 8, PX) channel planes."""
-    g = records_ref.shape[0]
+def _lane_prefix_prods(one_minus: jnp.ndarray, kb: int):
+    """Inclusive→exclusive prefix product along the lane axis.
 
-    # pixel coordinates (G, PX): tile-local grid + per-tile origin
-    lin = jax.lax.broadcasted_iota(jnp.int32, (g, PX), 1)
-    px = jnp.mod(lin, tile).astype(jnp.float32)
-    py = (lin // tile).astype(jnp.float32)
-    ox = origins_ref[:, 0].reshape(g, 1)
-    oy = origins_ref[:, 1].reshape(g, 1)
-    gx = ox + px
-    gy = oy + py
+    Returns (T_exclusive (PX, kb), total (PX, 1))."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, one_minus.shape, 1)
+    p = one_minus
+    s = 1
+    while s < kb:
+        shifted = pltpu.roll(p, s, 1)
+        p = p * jnp.where(lane >= s, shifted, 1.0)
+        s *= 2
+    excl = jnp.where(lane >= 1, pltpu.roll(p, 1, 1), 1.0)
+    total = p[:, kb - 1:kb]
+    return excl, total
 
-    def body(k, carry):
-        r, gc, b, acc_a, acc_d, T = carry
-        rec = records_ref[:, k, :]  # (G, RECORD)
-        col = lambda i: rec[:, i].reshape(g, 1)
-        dx = col(0) - gx
-        dy = col(1) - gy
-        power = -0.5 * (col(2) * dx * dx + col(4) * dy * dy) - col(3) * dx * dy
-        alpha = jnp.minimum(alpha_max, col(5) * jnp.exp(power))
-        alpha = jnp.where(power > 0.0, 0.0, alpha)
-        alpha = jnp.where(alpha < alpha_min, 0.0, alpha)
-        alpha = alpha * col(10)  # ok flag
-        w = alpha * T
-        r = r + w * col(6)
-        gc = gc + w * col(7)
-        b = b + w * col(8)
-        acc_d = acc_d + w * col(9)
-        acc_a = acc_a + w
-        T = T * (1.0 - alpha)
-        return r, gc, b, acc_a, acc_d, T
 
-    zeros = jnp.zeros((g, PX), jnp.float32)
-    init = (zeros, zeros, zeros, zeros, zeros, jnp.ones((g, PX), jnp.float32))
-    r, gc, b, acc_a, acc_d, T = jax.lax.fori_loop(0, k_max, body, init)
+def _lane_suffix_sums(v: jnp.ndarray, kb: int):
+    """Inclusive suffix sum along lanes: out_i = Σ_{j≥i} v_j.
 
-    out_ref[:, 0, :] = r
-    out_ref[:, 1, :] = gc
-    out_ref[:, 2, :] = b
-    out_ref[:, 3, :] = acc_a
-    out_ref[:, 4, :] = acc_d
-    out_ref[:, 5, :] = T
-    out_ref[:, 6, :] = zeros
-    out_ref[:, 7, :] = zeros
+    Returns (suffix_inclusive (PX, kb), total (PX, 1))."""
+    lane = jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+    q = v
+    s = 1
+    while s < kb:
+        shifted = pltpu.roll(q, kb - s, 1)  # circular left-shift by s
+        q = q + jnp.where(lane < kb - s, shifted, 0.0)
+        s *= 2
+    total = q[:, 0:1]
+    return q, total
+
+
+def _block_alpha(fields_ref, gi, sl, gx, gy, kb, alpha_min, alpha_max):
+    """(PX, kb) gated alpha for one gaussian block (+ intermediates for bwd)."""
+    row = lambda i: fields_ref[gi, i, sl].reshape(1, kb)
+    dx = row(0) - gx
+    dy = row(1) - gy
+    ca, cb_, cc = row(2), row(3), row(4)
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb_ * dx * dy
+    e = jnp.exp(power)
+    raw = row(5) * e
+    alpha = jnp.minimum(alpha_max, raw)
+    live = jnp.logical_and(power <= 0.0, alpha >= alpha_min)
+    live = jnp.logical_and(live, row(10) > 0.0)
+    alpha = jnp.where(live, alpha, 0.0)
+    return alpha, (dx, dy, ca, cb_, cc, e, raw, live)
+
+
+def _composite_fields_kernel(origins_ref, fields_ref, out_ref, *, k_total: int,
+                             tile: int, alpha_min: float, alpha_max: float,
+                             g_tiles: int, kb: int):
+    px_count = tile * tile
+    f32 = jnp.float32
+    for gi in range(g_tiles):
+        lin = jax.lax.broadcasted_iota(jnp.int32, (px_count, 1), 0)
+        gx = jnp.mod(lin, tile).astype(f32) + origins_ref[gi, 0]
+        gy = (lin // tile).astype(f32) + origins_ref[gi, 1]
+
+        t_carry = jnp.ones((px_count, 1), f32)
+        rgbd = jnp.zeros((px_count, 4), f32)
+        a_acc = jnp.zeros((px_count, 1), f32)
+        for b in range(k_total // kb):
+            sl = pl.ds(b * kb, kb)
+            alpha, _ = _block_alpha(fields_ref, gi, sl, gx, gy, kb,
+                                    alpha_min, alpha_max)
+            excl, tot = _lane_prefix_prods(1.0 - alpha, kb)
+            w = alpha * excl * t_carry  # (PX, kb)
+            cm = fields_ref[gi, 6:10, sl]  # (4, kb): r, g, b, depth
+            rgbd = rgbd + jax.lax.dot_general(
+                w, cm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            a_acc = a_acc + jnp.sum(w, axis=1, keepdims=True)
+            t_carry = t_carry * tot
+
+        zeros = jnp.zeros((px_count,), f32)
+        out_ref[gi, 0, :] = rgbd[:, 0]
+        out_ref[gi, 1, :] = rgbd[:, 1]
+        out_ref[gi, 2, :] = rgbd[:, 2]
+        out_ref[gi, 3, :] = a_acc[:, 0]
+        out_ref[gi, 4, :] = rgbd[:, 3]
+        out_ref[gi, 5, :] = t_carry[:, 0]
+        out_ref[gi, 6, :] = zeros
+        out_ref[gi, 7, :] = zeros
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "alpha_min", "alpha_max",
                                              "tiles_per_program", "interpret"))
-def composite_tiles_pallas(
+def composite_fields_pallas(
     origins: jnp.ndarray,  # (T, 2) float32 tile pixel origins (x0, y0)
-    records: jnp.ndarray,  # (T, K, RECORD) float32 packed per-tile gaussians
+    fields: jnp.ndarray,  # (T, 12, K) float32
     tile: int = 16,
     alpha_min: float = 1.0 / 255.0,
     alpha_max: float = 0.99,
-    tiles_per_program: int = 16,
+    tiles_per_program: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """→ (T, 8, PX) channel planes [r, g, b, alpha, depth, T_final, 0, 0]."""
-    t, k, rec = records.shape
-    assert rec == RECORD
+    t, nf, k = fields.shape
+    assert nf == NFIELD
+    kb = min(k, 128)
+    assert k % kb == 0, (k, kb)
     g = tiles_per_program
     pad = (-t) % g
     if pad:
         origins = jnp.pad(origins, ((0, pad), (0, 0)))
-        records = jnp.pad(records, ((0, pad), (0, 0), (0, 0)))
+        fields = jnp.pad(fields, ((0, pad), (0, 0), (0, 0)))
     tp = origins.shape[0]
+    px_count = tile * tile
 
     out = pl.pallas_call(
-        functools.partial(_composite_kernel, k_max=k, tile=tile,
-                          alpha_min=alpha_min, alpha_max=alpha_max),
+        functools.partial(_composite_fields_kernel, k_total=k, tile=tile,
+                          alpha_min=alpha_min, alpha_max=alpha_max,
+                          g_tiles=g, kb=kb),
         grid=(tp // g,),
         in_specs=[
             pl.BlockSpec((g, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, k, RECORD), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, NFIELD, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((g, 8, PX), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, 8, px_count), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, 8, PX), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tp, 8, px_count), jnp.float32),
         interpret=interpret,
-    )(origins, records)
+    )(origins, fields)
     return out[:t]
 
 
-def _composite_bwd_kernel(origins_ref, records_ref, tfinal_ref, cot_ref,
-                          grad_ref, *, k_max: int, tile: int,
-                          alpha_min: float, alpha_max: float):
-    """Backward: reverse walk over gaussians, recomputing alpha from records.
+def _composite_fields_bwd_kernel(origins_ref, fields_ref, cot_ref, grad_ref,
+                                 alpha_buf, t_buf, *, k_total: int, tile: int,
+                                 alpha_min: float, alpha_max: float,
+                                 g_tiles: int, kb: int):
+    px_count = tile * tile
+    f32 = jnp.float32
+    nblocks = k_total // kb
+    for gi in range(g_tiles):
+        lin = jax.lax.broadcasted_iota(jnp.int32, (px_count, 1), 0)
+        gx = jnp.mod(lin, tile).astype(f32) + origins_ref[gi, 0]
+        gy = (lin // tile).astype(f32) + origins_ref[gi, 1]
 
-    For w_k = α_k·T_k, T_k = Π_{j<k}(1−α_j):
-      ∂L/∂α_k = dw_k·T_k − (S_k + g_T·T_final)/(1−α_k),
-      S_k = Σ_{j>k} dw_j·w_j  (accumulated during the reverse loop),
-    the same recurrence the CUDA kernel's back-to-front pass uses.
-    """
-    g = records_ref.shape[0]
-    lin = jax.lax.broadcasted_iota(jnp.int32, (g, PX), 1)
-    px = jnp.mod(lin, tile).astype(jnp.float32)
-    py = (lin // tile).astype(jnp.float32)
-    gx = origins_ref[:, 0].reshape(g, 1) + px
-    gy = origins_ref[:, 1].reshape(g, 1) + py
+        # pass 1: forward recompute of alpha and per-gaussian transmittance
+        t_carry = jnp.ones((px_count, 1), f32)
+        for b in range(nblocks):
+            sl = pl.ds(b * kb, kb)
+            alpha, _ = _block_alpha(fields_ref, gi, sl, gx, gy, kb,
+                                    alpha_min, alpha_max)
+            excl, tot = _lane_prefix_prods(1.0 - alpha, kb)
+            alpha_buf[:, sl] = alpha
+            t_buf[:, sl] = excl * t_carry
+            t_carry = t_carry * tot
+        tfinal = t_carry  # (PX, 1)
 
-    gr = cot_ref[:, 0, :]
-    gg = cot_ref[:, 1, :]
-    gb = cot_ref[:, 2, :]
-    ga = cot_ref[:, 3, :]
-    gd = cot_ref[:, 4, :]
-    gT = cot_ref[:, 5, :]
-    tfinal = tfinal_ref[:, 0, :]
-    gT_tf = gT * tfinal
+        col = lambda i: cot_ref[gi, i, :].reshape(px_count, 1)
+        gr, gg, gb, ga, gd, g_t = (col(i) for i in range(6))
+        g_t_tf = g_t * tfinal
 
-    def body(i, carry):
-        S, T_next = carry
-        k = k_max - 1 - i
-        rec = records_ref[:, k, :]
-        col = lambda j: rec[:, j].reshape(g, 1)
-        dx = col(0) - gx
-        dy = col(1) - gy
-        ca, cb, cc = col(2), col(3), col(4)
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        e = jnp.exp(power)
-        raw = col(5) * e
-        clamped = raw > alpha_max
-        alpha = jnp.minimum(alpha_max, raw)
-        live = jnp.logical_and(power <= 0.0, alpha >= alpha_min)
-        live = jnp.logical_and(live, col(10) > 0.0)
-        alpha = jnp.where(live, alpha, 0.0)
+        # pass 2: reverse over blocks
+        s_carry = jnp.zeros((px_count, 1), f32)
+        for b in range(nblocks - 1, -1, -1):
+            sl = pl.ds(b * kb, kb)
+            alpha = alpha_buf[:, sl]
+            t_k = t_buf[:, sl]
+            w = alpha * t_k
+            row = lambda i: fields_ref[gi, i, sl].reshape(1, kb)
+            dw = (gr * row(6) + gg * row(7) + gb * row(8) + gd * row(9) + ga)
+            dww = dw * w
+            suffix_incl, block_total = _lane_suffix_sums(dww, kb)
+            s_k = suffix_incl - dww + s_carry
+            dalpha = dw * t_k - (s_k + g_t_tf) / (1.0 - alpha)
 
-        one_minus = 1.0 - alpha
-        T_k = T_next / one_minus  # α ≤ 0.99 ⇒ safe
-        w_k = alpha * T_k
+            _, (dx, dy, ca, cb_, cc, e, raw, live) = _block_alpha(
+                fields_ref, gi, sl, gx, gy, kb, alpha_min, alpha_max)
+            pass_th = jnp.where(jnp.logical_and(live, raw <= alpha_max),
+                                1.0, 0.0)
+            dop = dalpha * e * pass_th  # (PX, kb)
+            dpow = dalpha * raw * pass_th
 
-        dw = gr * col(6) + gg * col(7) + gb * col(8) + gd * col(9) + ga
-        dalpha = dw * T_k - (S + gT_tf) / one_minus
+            red = lambda v: jnp.sum(v, axis=0)  # (kb,)
+            grad_ref[gi, 0, sl] = red(dpow * (-ca * dx - cb_ * dy))
+            grad_ref[gi, 1, sl] = red(dpow * (-cc * dy - cb_ * dx))
+            grad_ref[gi, 2, sl] = red(dpow * (-0.5 * dx * dx))
+            grad_ref[gi, 3, sl] = red(dpow * (-dx * dy))
+            grad_ref[gi, 4, sl] = red(dpow * (-0.5 * dy * dy))
+            grad_ref[gi, 5, sl] = red(dop)
+            grad_ref[gi, 6, sl] = red(w * gr)
+            grad_ref[gi, 7, sl] = red(w * gg)
+            grad_ref[gi, 8, sl] = red(w * gb)
+            grad_ref[gi, 9, sl] = red(w * gd)
+            zeros = jnp.zeros((kb,), f32)
+            grad_ref[gi, 10, sl] = zeros
+            grad_ref[gi, 11, sl] = zeros
 
-        # chain into the record fields (masked & clamp-aware)
-        pass_through = jnp.where(jnp.logical_and(live, ~clamped), 1.0, 0.0)
-        dop = dalpha * e * pass_through
-        dpow = dalpha * raw * pass_through
-        dxr = dpow * (-ca * dx - cb * dy)
-        dyr = dpow * (-cc * dy - cb * dx)
-        dca = dpow * (-0.5 * dx * dx)
-        dcb = dpow * (-dx * dy)
-        dcc = dpow * (-0.5 * dy * dy)
-        dcr = gr * w_k
-        dcg = gg * w_k
-        dcb_col = gb * w_k
-        ddep = gd * w_k
-
-        zero = jnp.zeros((g, PX), jnp.float32)
-        # one reduction + one write per step: stack the 12 field terms on the
-        # sublane axis (G·12, PX), reduce lanes once, store (G, 12)
-        stacked = jnp.concatenate(
-            [dxr, dyr, dca, dcb, dcc, dop, dcr, dcg, dcb_col, ddep, zero, zero],
-            axis=0)  # (12·G, PX)
-        reduced = jnp.sum(stacked, axis=1).reshape(RECORD, g).T  # (G, RECORD)
-        grad_ref[:, k, :] = reduced
-
-        return S + dw * w_k, T_k
-
-    init = (jnp.zeros((g, PX), jnp.float32), tfinal)
-    jax.lax.fori_loop(0, k_max, body, init)
+            s_carry = s_carry + block_total
 
 
 @functools.partial(jax.jit, static_argnames=("tile", "alpha_min", "alpha_max",
                                              "tiles_per_program", "interpret"))
-def composite_tiles_pallas_bwd(
+def composite_fields_pallas_bwd(
     origins: jnp.ndarray,  # (T, 2)
-    records: jnp.ndarray,  # (T, K, RECORD)
-    tfinal: jnp.ndarray,  # (T, PX) forward final transmittance
+    fields: jnp.ndarray,  # (T, 12, K)
     cotangents: jnp.ndarray,  # (T, 8, PX)
     tile: int = 16,
     alpha_min: float = 1.0 / 255.0,
     alpha_max: float = 0.99,
-    tiles_per_program: int = 16,
+    tiles_per_program: int = 8,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """→ grad records (T, K, RECORD)."""
-    t, k, rec = records.shape
+    """→ grad fields (T, 12, K)."""
+    t, nf, k = fields.shape
+    assert nf == NFIELD
+    kb = min(k, 128)
+    assert k % kb == 0, (k, kb)
     g = tiles_per_program
     pad = (-t) % g
     if pad:
         origins = jnp.pad(origins, ((0, pad), (0, 0)))
-        records = jnp.pad(records, ((0, pad), (0, 0), (0, 0)))
-        tfinal = jnp.pad(tfinal, ((0, pad), (0, 0)), constant_values=1.0)
+        fields = jnp.pad(fields, ((0, pad), (0, 0), (0, 0)))
         cotangents = jnp.pad(cotangents, ((0, pad), (0, 0), (0, 0)))
     tp = origins.shape[0]
-    tf3 = tfinal[:, None, :]  # (T, 1, PX)
+    px_count = tile * tile
 
     out = pl.pallas_call(
-        functools.partial(_composite_bwd_kernel, k_max=k, tile=tile,
-                          alpha_min=alpha_min, alpha_max=alpha_max),
+        functools.partial(_composite_fields_bwd_kernel, k_total=k, tile=tile,
+                          alpha_min=alpha_min, alpha_max=alpha_max,
+                          g_tiles=g, kb=kb),
         grid=(tp // g,),
         in_specs=[
             pl.BlockSpec((g, 2), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, k, RECORD), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, NFIELD, k), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 1, PX), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, 8, PX), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, 8, px_count), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((g, k, RECORD), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((g, NFIELD, k), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((tp, k, RECORD), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((tp, NFIELD, k), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((px_count, k), jnp.float32),  # alpha
+            pltpu.VMEM((px_count, k), jnp.float32),  # per-gaussian T
+        ],
         interpret=interpret,
-    )(origins, records, tf3, cotangents)
+    )(origins, fields, cotangents)
     return out[:t]
 
 
-def pack_records(proj, colors: jnp.ndarray, opacity: jnp.ndarray,
-                 idx: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
-    """Gather the per-tile gaussian records for the kernel.
+def pack_fields(proj, colors: jnp.ndarray, opacity: jnp.ndarray,
+                idx: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+    """Gather per-tile gaussian fields in the (T, 12, K) K-on-lanes layout.
 
-    Packs the per-gaussian table (N, 12) FIRST so the tile binning is a
-    single gather (and its backward a single scatter) instead of six narrow
-    ones — narrow trailing dims pad to the 128-lane width on TPU."""
-    n = proj.mean2d.shape[0]
-    table = jnp.concatenate(
-        [proj.mean2d, proj.conic, opacity[:, None], colors,
-         proj.depth[:, None], jnp.zeros((n, 2), proj.mean2d.dtype)], axis=-1)
-    rec = table[idx]  # (T, K, 12)
-    okf = ok.astype(rec.dtype)[..., None]
-    # slot 10 carries the ok flag; slot 11 stays zero
-    return jnp.concatenate(
-        [rec[..., :10], okf, rec[..., 11:]], axis=-1)
+    Separate per-field (N,) → (T, K) gathers keep K on the 128-lane axis
+    (a packed (T, K, 12) gather would pad the 12-wide trailing dim to 128)."""
+    g = lambda v: v[idx]  # (T, K)
+    rows = [
+        g(proj.mean2d[:, 0]), g(proj.mean2d[:, 1]),
+        g(proj.conic[:, 0]), g(proj.conic[:, 1]), g(proj.conic[:, 2]),
+        g(opacity),
+        g(colors[:, 0]), g(colors[:, 1]), g(colors[:, 2]),
+        g(proj.depth),
+        ok.astype(jnp.float32),
+        jnp.zeros_like(ok, dtype=jnp.float32),
+    ]
+    return jnp.stack(rows, axis=1)

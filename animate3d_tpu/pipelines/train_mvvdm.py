@@ -46,6 +46,37 @@ class MVVDMTrainConfig:
     cfg_dropout_prob: float = 0.1
     num_views: int = 4
     i2v_cond_time_zero: bool = False
+    # LR schedule (diffusers get_scheduler surface, train.py:427-436)
+    lr_scheduler: str = "constant"  # constant | linear | cosine
+    lr_warmup_steps: int = 0
+    max_train_steps: int = 100000  # decay horizon for linear/cosine
+    # reference semantics: gradient_accumulation_steps only scales the LR
+    # (train.py:128,427-428 — the loop itself steps every batch); with a dp
+    # mesh the batch is scaled by device count instead, so this stays an
+    # LR knob for config parity
+    gradient_accumulation_steps: int = 1
+    scale_lr: bool = False
+    lr_scale_factor: float = 1.0  # batch_size × n_processes when scale_lr
+
+
+def make_lr_schedule(cfg: MVVDMTrainConfig):
+    lr = cfg.learning_rate
+    if cfg.scale_lr:
+        lr = lr * cfg.gradient_accumulation_steps * cfg.lr_scale_factor
+    warmup = cfg.lr_warmup_steps * cfg.gradient_accumulation_steps
+    total = max(cfg.max_train_steps * cfg.gradient_accumulation_steps, warmup + 1)
+    if cfg.lr_scheduler == "constant":
+        main = optax.constant_schedule(lr)
+    elif cfg.lr_scheduler == "linear":
+        main = optax.linear_schedule(lr, 0.0, total - warmup)
+    elif cfg.lr_scheduler == "cosine":
+        main = optax.cosine_decay_schedule(lr, total - warmup)
+    else:
+        raise ValueError(f"unknown lr_scheduler {cfg.lr_scheduler!r}")
+    if warmup:
+        return optax.join_schedules(
+            [optax.linear_schedule(0.0, lr, warmup), main], [warmup])
+    return main
 
 
 def trainable_mask(params) -> Any:
@@ -70,7 +101,7 @@ def make_optimizer(params, cfg: MVVDMTrainConfig) -> optax.GradientTransformatio
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
-            learning_rate=cfg.learning_rate,
+            learning_rate=make_lr_schedule(cfg),
             b1=cfg.adam_b1, b2=cfg.adam_b2, eps=cfg.adam_eps,
             weight_decay=cfg.weight_decay,
         ),

@@ -44,6 +44,7 @@ def main() -> None:
     import jax.numpy as jnp
 
     from animate3d_tpu.convert.torch_to_flax import (
+        adapter_init_parity,
         apply_to_flax_params,
         load_animate3d_motion_checkpoint,
         load_torch_state_dict,
@@ -67,6 +68,9 @@ def main() -> None:
         jax.random.PRNGKey(0),
         jnp.zeros((4, 2, 32, 32, 4)), jnp.asarray(0.0),
         jnp.zeros((4, 77, 768)), jnp.zeros((4, 16)), jnp.zeros((4, 1024)))
+    # install-time adapter init (inference.py:160-168) — matters only when
+    # no animate3d motion checkpoint overwrites the adapters below
+    params = adapter_init_parity(params)
 
     converted = {}
     base = find_model_file(os.path.join(args.mvdream_dir, "unet"))

@@ -93,3 +93,49 @@ def test_recon_step_dp_sharded():
     }
     m = system.step(batch, jax.random.PRNGKey(0))
     assert np.isfinite(m["loss"])
+
+
+def test_ring_attention_matches_dense():
+    """sp-sharded ring attention over the 8-device mesh == dense attention
+    (the long-context upgrade path, SURVEY §2.3/§5)."""
+    from animate3d_tpu.ops.attention import multi_head_attention
+    from animate3d_tpu.parallel.sp_attention import ring_attention_sharded
+
+    mesh = make_mesh(dp=1, sp=8)
+    rng = np.random.default_rng(3)
+    b, s, h, d = 2, 64, 4, 16
+    q = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+
+    dense = multi_head_attention(q, k, v, h, backend="xla")
+    ring = ring_attention_sharded(mesh, q, k, v, h)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_unet_forward_under_sp_ring_matches_local():
+    """The full tiny MV UNet traced under sp_ring(mesh) — self-attention
+    rides the 8-chip K/V ring, cross/text attention falls back — must match
+    the single-device forward."""
+    import jax.numpy as jnp
+
+    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+    from animate3d_tpu.ops.attention import sp_ring
+
+    ucfg = MVUNetConfig.tiny(num_views=4)
+    unet = MVMotionUNet(ucfg, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    lat = jnp.asarray(rng.normal(size=(4, 2, 8, 8, 4)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(4, 7, ucfg.cross_attention_dim)), jnp.float32)
+    cam = jnp.asarray(rng.normal(size=(4, 16)), jnp.float32)
+    ie = jnp.asarray(rng.normal(size=(4, ucfg.image_embed_dim)), jnp.float32)
+    params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat, jnp.asarray(0.0),
+                                text, cam, ie)
+
+    local = unet.apply(params, lat, jnp.asarray(300.0), text, cam, ie)
+    mesh = make_mesh(dp=1, sp=8)
+    with sp_ring(mesh):
+        ringed = unet.apply(params, lat, jnp.asarray(300.0), text, cam, ie)
+    np.testing.assert_allclose(np.asarray(ringed), np.asarray(local),
+                               atol=3e-5, rtol=1e-4)

@@ -205,3 +205,52 @@ def test_caption_content_changes_loss(tmp_path):
     loss_b = _run_trainer(tmp_path, bundle, "a blue dragon flying", "out_b")
     assert np.isfinite(loss_a) and np.isfinite(loss_b)
     assert abs(loss_a - loss_b) > 1e-7
+
+
+def test_lr_schedule_shapes():
+    """diffusers get_scheduler parity: warmup + constant/linear/cosine
+    (train.py:427-436)."""
+    from animate3d_tpu.pipelines.train_mvvdm import MVVDMTrainConfig, make_lr_schedule
+
+    cfg = MVVDMTrainConfig(learning_rate=1e-3, lr_warmup_steps=10,
+                           lr_scheduler="linear", max_train_steps=110)
+    sched = make_lr_schedule(cfg)
+    assert abs(float(sched(0))) < 1e-9
+    assert abs(float(sched(10)) - 1e-3) < 1e-9  # warmup done
+    assert float(sched(60)) < 1e-3  # decaying
+    assert float(sched(110)) < 1e-5
+
+    cfg = MVVDMTrainConfig(learning_rate=1e-3, lr_scheduler="constant",
+                           scale_lr=True, gradient_accumulation_steps=2,
+                           lr_scale_factor=4.0)
+    sched = make_lr_schedule(cfg)
+    assert abs(float(sched(500)) - 8e-3) < 1e-9
+
+
+def test_validation_sampling_writes_gif(tmp_path):
+    bundle = _make_tiny_bundle(tmp_path)
+    _write_train_workspace(tmp_path, caption="a toy")
+    cfg = f"""
+output_dir: "{tmp_path}/out"
+model_size: tiny
+num_views: 4
+video_length: 2
+sample_size: 16
+flax_params_dir: "{bundle}"
+train_data:
+  manifest_path: "{tmp_path}/manifest.json"
+  video_root: "{tmp_path}/vids"
+max_train_steps: 1
+checkpointing_steps: 1
+validation_steps: 1
+validation_num_steps: 2
+learning_rate: 1.0e-4
+lr_scheduler: linear
+lr_warmup_steps: 0
+global_seed: 0
+"""
+    (tmp_path / "t.yaml").write_text(cfg)
+    from animate3d_tpu.cli.train_mvvdm import main
+
+    main(["--config", str(tmp_path / "t.yaml")])
+    assert (tmp_path / "out" / "samples" / "sample-1.gif").exists()
