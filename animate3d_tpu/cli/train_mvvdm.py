@@ -100,7 +100,9 @@ def main(argv=None) -> None:
     dcfg = MVideoConfig(
         manifest_path=cfg["train_data"]["manifest_path"],
         video_root=cfg["train_data"].get("video_root", ""),
-        sample_size=sample_size, sample_n_frames=n_frames, num_views=n_views)
+        sample_size=sample_size, sample_n_frames=n_frames, num_views=n_views,
+        total_frames=cfg["train_data"].get("total_frames", 48),
+        elevation=cfg["train_data"].get("elevation", 15.0))
     dataset = MVideoDataset(dcfg, seed=cfg.get("global_seed", 42))
     batch_size = cfg.get("train_batch_size", 1) * max(jax.device_count(), 1)
     # epoch semantics (train.py:422-425): steps default to epochs × dataset

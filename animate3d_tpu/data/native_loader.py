@@ -46,6 +46,19 @@ def _load():
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.mv_decode_images.restype = ctypes.c_int
+    if hasattr(lib, "mv_decode_video"):
+        lib.mv_decode_video.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_float),
+        ]
+        lib.mv_decode_video.restype = ctypes.c_int
+        lib.mv_encode_video.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.mv_encode_video.restype = ctypes.c_int
+        lib.mv_video_frame_count.argtypes = [ctypes.c_char_p]
+        lib.mv_video_frame_count.restype = ctypes.c_int
     _lib = lib
     return _lib
 
@@ -70,3 +83,49 @@ def decode_images(paths: List[str], size: int,
     if n_ok < len(paths):
         return None  # let the caller fall back (and surface the bad file)
     return out
+
+
+def decode_video(path: str, indices, size: int) -> Optional[np.ndarray]:
+    """Decode container-format (mp4 etc.) frames at ``indices`` via
+    libavformat/libavcodec — the decord ``VideoReader.get_batch`` equivalent
+    (reference animatediff/data/dataset.py:61-65).
+
+    → (len(indices), size, size, 3) float32 in [-1, 1]; indices past the
+    clip end clamp to the last frame. None when the native library is
+    unavailable or the file cannot be decoded (caller falls back)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mv_decode_video"):
+        return None
+    idx = np.ascontiguousarray(np.asarray(indices, np.int32))
+    out = np.zeros((len(idx), size, size, 3), np.float32)
+    filled = lib.mv_decode_video(
+        path.encode(), idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        len(idx), size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    if filled < len(idx):
+        return None
+    return out
+
+
+def video_frame_count(path: str) -> Optional[int]:
+    """Frames in a video container (``len(VideoReader)`` parity). None when
+    the native library is unavailable or the file cannot be opened."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mv_video_frame_count"):
+        return None
+    n = lib.mv_video_frame_count(path.encode())
+    return None if n < 0 else int(n)
+
+
+def encode_video(path: str, frames: np.ndarray, fps: int = 8) -> bool:
+    """Encode (F, H, W, 3) uint8 RGB frames to an MP4 (mpeg4). Test/tooling
+    helper so clip round-trips need no binary fixtures."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mv_encode_video"):
+        return False
+    frames = np.ascontiguousarray(frames, np.uint8)
+    f, h, w, c = frames.shape
+    assert c == 3, frames.shape
+    rc = lib.mv_encode_video(
+        path.encode(), frames.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        f, h, w, fps)
+    return rc == 0

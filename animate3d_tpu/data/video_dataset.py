@@ -52,21 +52,35 @@ def _frame_paths_for(path: str, indices: np.ndarray):
 def _read_video_frames(path: str, indices: np.ndarray, size: int) -> np.ndarray:
     """(len(indices), size, size, 3) float32 in [-1, 1].
 
-    Image sequences go through the native parallel decoder
-    (data/native_loader.py) when built; mp4 and fallback decode via
-    imageio/PIL (the decord replacement, dataset.py:57-65)."""
+    Image sequences go through the native parallel decoder and container
+    formats (mp4) through the native libavcodec decoder
+    (data/native_loader.py); anything else falls back to imageio/PIL
+    (the decord replacement, dataset.py:57-65)."""
+    from animate3d_tpu.data import native_loader
+
     frame_files = _frame_paths_for(path, indices)
     if frame_files is not None:
-        from animate3d_tpu.data import native_loader
-
         native = native_loader.decode_images(frame_files, size)
+        if native is not None:
+            return native
+    elif os.path.isfile(path):
+        native = native_loader.decode_video(path, indices, size)
         if native is not None:
             return native
 
     import imageio.v3 as iio
     from PIL import Image
 
-    frames = iio.imread(path, plugin="pyav") if path.endswith(".mp4") else iio.imread(path)
+    if path.endswith(".mp4"):
+        try:
+            frames = iio.imread(path, plugin="pyav")
+        except ImportError as e:
+            raise RuntimeError(
+                f"cannot decode video {path!r}: the native libavcodec "
+                "decoder failed on it (corrupt/unsupported file?) and no "
+                "pyav fallback is installed") from e
+    else:
+        frames = iio.imread(path)
     frames = np.asarray(frames)
     if frames.ndim == 3:
         frames = frames[None]
