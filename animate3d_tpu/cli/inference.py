@@ -61,6 +61,9 @@ def main(argv=None) -> None:
     parser.add_argument("--guidance_scale", type=float, default=7.5)
     parser.add_argument("--freeinit_iters", type=int, default=3)
     parser.add_argument("--seed", type=int, default=8673)
+    parser.add_argument("--mesh_sp", type=int, default=0,
+                        help="shard cross-view attention sequences over N "
+                             "chips (K/V ICI ring; >4-view/>16-frame scaling)")
     args = parser.parse_args(argv)
 
     import yaml
@@ -154,8 +157,28 @@ def main(argv=None) -> None:
     ffl = encode_conditioning_images(
         lambda p, x: vae_encode(p, x), vae_params,
         jnp.asarray(cond_images * 2.0 - 1.0))
-    latents = sampler.sample(jax.random.PRNGKey(args.seed), unet_params, ffl,
-                             text_cond, text_uncond, image_embeds)
+
+    # optional sequence parallelism: shard the (n_view·tokens) attention axis
+    # over a sp mesh so K/V ride the ICI ring (parallel/sp_attention.py) —
+    # the TPU-native scaling axis the reference lacks (SURVEY §2.3/§5)
+    import contextlib
+
+    mesh_sp = int(cfg_yaml.get("mesh_sp", 0) or args.mesh_sp)
+    if mesh_sp > 1:
+        from animate3d_tpu.ops.attention import sp_ring
+        from animate3d_tpu.parallel.mesh import make_mesh
+
+        assert len(jax.devices()) >= mesh_sp, (
+            f"--mesh_sp {mesh_sp} but only {len(jax.devices())} devices")
+        mesh = make_mesh(dp=1, sp=mesh_sp, devices=jax.devices()[:mesh_sp])
+        print(f"[mesh] sp={mesh_sp}: cross-view attention K/V ride the ICI ring")
+        sp_ctx = sp_ring(mesh)
+    else:
+        sp_ctx = contextlib.nullcontext()
+
+    with sp_ctx:
+        latents = sampler.sample(jax.random.PRNGKey(args.seed), unet_params,
+                                 ffl, text_cond, text_uncond, image_embeds)
     video = decode_video(vae_decode, vae_params, latents)
 
     os.makedirs(os.path.join(args.output_dir, args.save_name), exist_ok=True)

@@ -78,7 +78,14 @@ def ring_attention_sharded(mesh: Mesh, q: jnp.ndarray, k: jnp.ndarray,
     This is the sp upgrade path for >4-view / >16-frame MV attention: shard
     the (n·l) axis so each chip holds S/sp tokens and K/V ride the ICI ring
     instead of replicating the whole sequence."""
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map as _sm
+
+        def shard_map(f, **kw):  # renamed: check_rep → check_vma
+            kw["check_vma"] = kw.pop("check_rep", False)
+            return _sm(f, **kw)
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
 
     b, s, c = q.shape
     d = c // num_heads

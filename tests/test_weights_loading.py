@@ -61,7 +61,7 @@ def cond_images(tmp_path_factory):
     return root
 
 
-def _run_inference(out_dir, cond_root, flax_params=None):
+def _run_inference(out_dir, cond_root, flax_params=None, extra_argv=()):
     from animate3d_tpu.cli.inference import main
 
     argv = [
@@ -71,6 +71,7 @@ def _run_inference(out_dir, cond_root, flax_params=None):
         "-W", "32", "-H", "32", "-L", "2",
         "--steps", "2", "--freeinit_iters", "1", "--seed", "1",
     ]
+    argv += list(extra_argv)
     if flax_params:
         argv += ["--flax_params", str(flax_params)]
     main(argv)
@@ -119,3 +120,18 @@ def test_inference_cli_ip_image_conditioning_wired(tmp_path, cond_images):
                                flax_params=tmp_path / "bundle")
     assert np.abs(frames_zeros.astype(np.int32)
                   - frames_ip.astype(np.int32)).max() > 0
+
+
+def test_inference_cli_mesh_sp_matches_local(tmp_path, cond_images):
+    """--mesh_sp 8 shards the cross-view attention over the 8-device ring
+    (inference CLI sp wiring). Per-forward ring-vs-dense error is ~2e-6
+    (strict parity: test_parallel.py::test_unet_forward_under_sp_ring), but
+    a 2-step CFG-7.5 sampler on a random-init UNet amplifies that
+    chaotically, so at the GIF level we assert same-trajectory sanity, not
+    bit equality."""
+    frames_local = _run_inference(tmp_path / "out_local", cond_images)
+    frames_sp = _run_inference(tmp_path / "out_sp", cond_images,
+                               extra_argv=["--mesh_sp", "8"])
+    assert frames_sp.shape == frames_local.shape
+    diff = np.abs(frames_local.astype(np.int32) - frames_sp.astype(np.int32))
+    assert diff.mean() <= 12.0, diff.mean()
