@@ -22,6 +22,29 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+def snapshot_provenance(trial_dir: str, args) -> None:
+    """Experiment provenance: the launch command line (reference launch.py
+    cmd.txt, :212-227) and a zip of the first-party sources (CodeSnapshot/
+    ConfigSnapshot callbacks, threestudio/utils/callbacks.py:60-111)."""
+    import sys
+    import zipfile
+
+    with open(os.path.join(trial_dir, "cmd.txt"), "w") as f:
+        f.write("python " + " ".join(sys.argv) + "\n")
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with zipfile.ZipFile(os.path.join(trial_dir, "code_snapshot.zip"),
+                             "w", zipfile.ZIP_DEFLATED) as z:
+            for root, dirs, files in os.walk(pkg_root):
+                dirs[:] = [d for d in dirs if d != "__pycache__"]
+                for name in files:
+                    if name.endswith((".py", ".cpp", ".yaml")):
+                        p = os.path.join(root, name)
+                        z.write(p, os.path.relpath(p, os.path.dirname(pkg_root)))
+    except OSError as e:  # read-only trial dirs etc. — provenance is best-effort
+        print(f"[snapshot] WARNING: code snapshot failed: {e}")
+
+
 def build_system(cfg, seed: int = 0):
     """Dispatch ``system_type`` through the module registry (the reference's
     ``threestudio.find(cfg.system_type)(cfg.system)``, launch.py:170)."""
@@ -218,6 +241,7 @@ def main(argv=None) -> None:
     os.makedirs(cfg.trial_dir, exist_ok=True)
     dump_config(os.path.join(cfg.trial_dir, "parsed.yaml"),
                 {"data": cfg.data, "system": cfg.system, "trainer": cfg.trainer})
+    snapshot_provenance(cfg.trial_dir, args)
 
     system = build_system(cfg, seed=cfg.seed)
     if args.train:

@@ -39,11 +39,21 @@ class StepTimer:
 
 
 class MetricsLogger:
-    """Append-only JSONL metrics (the TB/CSV logger surface of launch.py)."""
+    """Append-only JSONL metrics + TensorBoard event file (the reference's
+    TB/CSV logger pair, launch.py:212-227). TB events are written by the
+    dependency-free writer (utils/tb_writer.py) into ``tb_dir`` (defaults to
+    ``<dir of path>/tb``; pass tb_dir="" to disable)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, tb_dir: Optional[str] = None):
         self.path = path
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        if tb_dir is None:
+            tb_dir = os.path.join(os.path.dirname(path) or ".", "tb")
+        self._tb = None
+        if tb_dir:
+            from animate3d_tpu.utils.tb_writer import TBWriter
+
+            self._tb = TBWriter(tb_dir)
 
     def log(self, step: int, metrics: Dict[str, Any]) -> None:
         rec = {"step": step}
@@ -54,6 +64,9 @@ class MetricsLogger:
                 rec[k] = str(v)
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            self._tb.scalars(metrics, step)
+            self._tb.flush()
 
 
 @contextlib.contextmanager
