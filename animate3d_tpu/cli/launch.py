@@ -93,7 +93,7 @@ def run_train(cfg, system, args) -> None:
     from animate3d_tpu.core.registry import find
     from animate3d_tpu.data.cameras import gs_cameras_from_batch
     import animate3d_tpu.data.multi_image  # noqa: F401 — registers datamodule
-    from animate3d_tpu.utils.logging import MetricsLogger, StepTimer
+    from animate3d_tpu.utils.logging import MetricsLogger
 
     data_cls = find(cfg.data_type or "simple-multi-image-datamodule")
     dataset = data_cls.from_config(cfg.data, seed=cfg.seed)
@@ -116,7 +116,6 @@ def run_train(cfg, system, args) -> None:
     val_every = cfg.trainer.get("val_check_interval", 0)
     ckpt_dir = os.path.join(cfg.trial_dir, "ckpts")
     logger = MetricsLogger(os.path.join(cfg.trial_dir, "metrics.jsonl"))
-    timer = StepTimer()
 
     key = jax.random.PRNGKey(cfg.seed)
     raw = dataset.batch(0)
@@ -127,11 +126,31 @@ def run_train(cfg, system, args) -> None:
         gs_cams = shard_batch(mesh, gs_cams)
     batch = {
         "gs_cameras": gs_cams,
-        "timestamps": raw["timestamps"],
-        "rgb": raw["rgb"],
-        "mask": raw["mask"].astype(np.float32),
+        # whole-video GT uploaded ONCE (the batch is constant across steps;
+        # re-uploading 50 MB of renders per step dominated wall-clock)
+        "timestamps": np.asarray(raw["timestamps"]),
+        "rgb": jnp.asarray(raw["rgb"]),
+        "mask": jnp.asarray(raw["mask"].astype(np.float32)),
     }
 
+    log_every = cfg.trainer.get("log_every_n_steps", 50)
+    pending = []  # (step, device-metrics) — fetched at log cadence so the
+    # python loop dispatches ahead of the device instead of syncing per step
+
+    def flush(now: float) -> None:
+        if not pending:
+            return
+        window = max(now - flush.t0, 0.0) / len(pending)
+        for s, m in pending:
+            logger.log(s, {**{k: float(v) for k, v in m.items()},
+                           "sec_per_step": window})
+        s, m = pending[-1]
+        msg = " ".join(f"{k}={float(v):.5f}" for k, v in m.items())
+        print(f"[{s}/{max_steps}] {msg} ({window:.2f}s/it avg)")
+        pending.clear()
+        flush.t0 = time.perf_counter()
+
+    flush.t0 = time.perf_counter()
     for step in range(max_steps):
         key, sub = jax.random.split(key)
         guidance_batch = None
@@ -145,12 +164,10 @@ def run_train(cfg, system, args) -> None:
                 "text_uncond": system.guidance_inputs.get("text_uncond"),
                 "image_embeds": system.guidance_inputs.get("image_embeds"),
             }
-        with timer:
-            metrics = system.step(batch, sub, guidance_batch=guidance_batch)
-        logger.log(step, {**metrics, "sec_per_step": timer.last})
-        if step % cfg.trainer.get("log_every_n_steps", 50) == 0:
-            msg = " ".join(f"{k}={v:.5f}" for k, v in metrics.items())
-            print(f"[{step}/{max_steps}] {msg} ({timer.last:.2f}s/it)")
+        metrics = system.step(batch, sub, guidance_batch=guidance_batch)
+        pending.append((step, metrics))
+        if step % log_every == 0 or step + 1 == max_steps:
+            flush(time.perf_counter())
         if val_every and (step + 1) % val_every == 0 and step + 1 < max_steps:
             _validation_render(cfg, system, step + 1)
         if (step + 1) % ckpt_every == 0 or step + 1 == max_steps:
@@ -159,6 +176,7 @@ def run_train(cfg, system, args) -> None:
                 "opt_state": system.opt_state,
                 "step": step + 1,
             })
+    flush(time.perf_counter())
     print(f"[train] done; checkpoints in {ckpt_dir}")
 
 

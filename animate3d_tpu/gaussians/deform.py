@@ -114,6 +114,38 @@ class DeformationField(nn.Module):
         scales = jnp.exp(scaling)
         return xyz, rot, scales, feats
 
+    def deform_frames(
+        self,
+        state: GaussianState,
+        ts: jnp.ndarray,  # (F,) timestamps in [-1, 1]
+        deform_scales: bool = False,
+    ):
+        """All frames at once: (means (F,N,3), rot (F,N,4), scales (F,N,3)).
+
+        Numerically equal to vmapping :meth:`deform` over ``ts`` but uses the
+        time-factorized matmul K-planes sampler (kplanes.py
+        interpolate_ms_features_frames): the spatial planes are sampled once
+        instead of per frame and no gathers/scatters appear in the gradient —
+        the recon step's deformation cost drops ~an order of magnitude."""
+        from animate3d_tpu.gaussians.kplanes import interpolate_ms_features_frames
+
+        feats = interpolate_ms_features_frames(state.xyz, ts, self.grids)
+        f = ts.shape[0]
+        if self.config.use_global_trans:
+            # rare path (off in every reference config): fall back to the
+            # per-frame implementation for exact parity
+            return jax.vmap(
+                lambda t: self.deform(state, t, deform_scales)[:3])(ts)
+
+        xyz = state.xyz[None] + self.delta_xyz_network(feats)
+        rot = state.rotation[None] + self.delta_rot_network(feats)
+        rot = rot / (jnp.linalg.norm(rot, axis=-1, keepdims=True) + 1e-12)
+        scaling = jnp.broadcast_to(state.scaling[None],
+                                   (f,) + state.scaling.shape)
+        if deform_scales:
+            scaling = scaling + self.delta_scaling_network(feats)
+        return xyz, rot, jnp.exp(scaling)
+
     def __call__(self, state: GaussianState, timestamp: jnp.ndarray):
         # deform_scales=True so init creates every submodule's params
         return self.deform(state, timestamp, deform_scales=True)

@@ -81,3 +81,61 @@ def interpolate_ms_features(pts: jnp.ndarray,
             interp = feat if interp is None else interp * feat
         outs.append(interp)
     return jnp.concatenate(outs, axis=-1)
+
+
+def axis_weights(coord: jnp.ndarray, reso: int) -> jnp.ndarray:
+    """coord (M,) in [-1, 1] → dense bilinear interpolation matrix (M, reso)
+    with ≤2 nonzeros per row (align_corners=True, border clamp).
+
+    Sampling becomes a matmul against these, so the BACKWARD is a matmul
+    too — the TPU-native replacement for gather fwd + scatter-add bwd (XLA
+    scatters serialize on TPU and dominated the deformation step)."""
+    x = jnp.clip((coord + 1.0) * 0.5 * (reso - 1), 0.0, reso - 1)
+    x0 = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, reso - 1)
+    x1 = jnp.minimum(x0 + 1, reso - 1)
+    fx = x - x0
+    cells = jnp.arange(reso, dtype=jnp.int32)
+    w0 = jnp.where(cells[None, :] == x0[:, None], (1.0 - fx)[:, None], 0.0)
+    w1 = jnp.where(cells[None, :] == x1[:, None], fx[:, None], 0.0)
+    return w0 + w1  # x0 == x1 at the border ⇒ (1-fx) + fx = 1 on that cell
+
+
+def interpolate_ms_features_frames(
+    xyz: jnp.ndarray,  # (N, 3) in [-1, 1]
+    ts: jnp.ndarray,  # (F,) in [-1, 1]
+    grids: List[List[jnp.ndarray]],
+) -> jnp.ndarray:
+    """(F, N, out_dim · n_scales) features for all N points at all F frames.
+
+    Time-factorized: the three spatial planes (xy, xz, yz) do not depend on
+    t, so their product is computed ONCE per point instead of per frame
+    (the naive per-frame evaluation redoes 6F plane samples; this does
+    3 + 3F, and every sample is a separable weight-matrix contraction with
+    matmul gradients — no gathers/scatters anywhere)."""
+    outs = []
+    for planes in grids:
+        # per-axis weight matrices for this scale's resolutions
+        reso = {}  # axis -> resolution (consistent within a scale by constr.)
+        for ci, (c0, c1) in enumerate(COO_COMBS):
+            c, h, w = planes[ci].shape
+            reso[c0] = w
+            reso[c1] = h
+        wx = axis_weights(xyz[:, 0], reso[0])
+        wy = axis_weights(xyz[:, 1], reso[1])
+        wz = axis_weights(xyz[:, 2], reso[2])
+        wt = axis_weights(ts, reso[3])
+        waxes = {0: wx, 1: wy, 2: wz}
+
+        spatial = None  # (N, C)
+        temporal = None  # (F, N, C)
+        for ci, (c0, c1) in enumerate(COO_COMBS):
+            if c1 != 3:
+                feat = jnp.einsum("chw,nw,nh->nc", planes[ci],
+                                  waxes[c0], waxes[c1])
+                spatial = feat if spatial is None else spatial * feat
+            else:
+                feat = jnp.einsum("ctw,nw->nct", planes[ci], waxes[c0])
+                feat = jnp.einsum("nct,ft->fnc", feat, wt)
+                temporal = feat if temporal is None else temporal * feat
+        outs.append(spatial[None, :, :] * temporal)
+    return jnp.concatenate(outs, axis=-1)

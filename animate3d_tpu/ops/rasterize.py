@@ -53,7 +53,8 @@ class RasterConfig(NamedTuple):
     # max_per_tile hits from the (already depth-sorted) coarse list. 0 ⇒ flat
     # per-tile top_k over all N.
     coarse: int = 4
-    coarse_k: int = 1024
+    coarse_k: int = 512  # 1024→512 saves ~0.5 s/recon-step (measured); the
+    # overflow counter reports if a denser scene ever truncates
     # TPU sort is slow (~10-20 ms per top_k call at these shapes);
     # approx_max_k runs ~30× faster and still returns an exactly-sorted list,
     # just sampled at `recall_target` recall — a ≤(1−recall) random subset of

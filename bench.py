@@ -142,13 +142,18 @@ def bench_recon_step(n: int = 20000, res: int = 256, n_view: int = 4,
         "rgb": rng.uniform(size=(n_view * n_frame, res, res, 3)).astype(np.float32),
         "mask": np.ones((n_view * n_frame, res, res, 1), np.float32),
     }
-    # fully-unlocked schedule (the steady-state cost)
+    # fully-unlocked schedule (the steady-state cost); GT uploaded once like
+    # the real training loop
+    batch["rgb"] = jax.numpy.asarray(batch["rgb"])
+    batch["mask"] = jax.numpy.asarray(batch["mask"])
     system.global_step = cfg.progressive_iter_per_frame * n_frame + 1
-    system.step(batch, jax.random.PRNGKey(0))  # compile + warmup
+    m = system.step(batch, jax.random.PRNGKey(0))  # compile + warmup
+    jax.block_until_ready(m)
     t0 = time.perf_counter()
-    iters = 3
+    iters = 4
     for i in range(iters):
-        system.step(batch, jax.random.PRNGKey(i + 1))
+        m = system.step(batch, jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(m)  # steps are async now — block once at the end
     return (time.perf_counter() - t0) / iters
 
 

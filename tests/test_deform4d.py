@@ -218,3 +218,96 @@ class TestARAPVariants:
                                                  mode="floyd")
         assert conn.nn_idx.shape == (12, 3)
         assert np.all(np.asarray(conn.nn_idx) >= 0)
+
+
+class TestFrameFactorizedSampler:
+    """Time-factorized matmul K-planes sampler (kplanes.py
+    interpolate_ms_features_frames / deform_frames) vs the pointwise path."""
+
+    def test_axis_weights_rows_sum_to_one(self):
+        import jax.numpy as jnp
+        from animate3d_tpu.gaussians.kplanes import axis_weights
+
+        coords = jnp.asarray([-1.0, -0.37, 0.0, 0.9999, 1.0])
+        w = axis_weights(coords, 7)
+        np.testing.assert_allclose(np.asarray(w.sum(axis=1)),
+                                   np.ones(5), atol=1e-6)
+        assert (np.asarray(w) >= 0).all()
+        # border rows are one-hot
+        assert np.asarray(w)[0, 0] == 1.0 and np.asarray(w)[-1, -1] == 1.0
+
+    def test_frames_sampler_matches_pointwise(self):
+        import jax
+        import jax.numpy as jnp
+        from animate3d_tpu.gaussians.kplanes import (
+            init_grid_params,
+            interpolate_ms_features,
+            interpolate_ms_features_frames,
+        )
+
+        rng = np.random.default_rng(0)
+        grids = init_grid_params(jax.random.PRNGKey(0),
+                                 [(5, 6, 7, 3), (9, 10, 11, 4)], out_dim=4)
+        # break the all-ones time planes so time actually matters
+        grids = [[p + 0.3 * jnp.sin(jnp.arange(p.size).reshape(p.shape) * 0.7)
+                  for p in planes] for planes in grids]
+        xyz = jnp.asarray(rng.uniform(-1, 1, size=(40, 3)), jnp.float32)
+        ts = jnp.asarray([-1.0, -0.2, 0.55, 1.0], jnp.float32)
+
+        fast = interpolate_ms_features_frames(xyz, ts, grids)
+        slow = jnp.stack([
+            interpolate_ms_features(
+                jnp.concatenate([xyz, jnp.full((40, 1), t)], axis=1), grids)
+            for t in ts])
+        np.testing.assert_allclose(np.asarray(fast), np.asarray(slow),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_deform_frames_matches_vmapped_deform(self):
+        import jax
+        import jax.numpy as jnp
+        from animate3d_tpu.gaussians.deform import DeformationField, DeformConfig
+        from animate3d_tpu.gaussians.state import random_state
+
+        state = random_state(jax.random.PRNGKey(0), 30, radius=0.4)
+        field = DeformationField(DeformConfig(
+            grid_sizes=((6, 6, 6, 3), (8, 8, 8, 4)), grid_feature_dim=4,
+            mlp_width=8))
+        params = field.init(jax.random.PRNGKey(1), state, jnp.asarray(0.3))
+        # non-zero output layers so the deformation is non-trivial
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.05 * jnp.ones_like(p), params)
+        ts = jnp.asarray([-1.0, 0.0, 0.7], jnp.float32)
+
+        fast = field.apply(params, state, ts, True,
+                           method=DeformationField.deform_frames)
+        slow = jax.vmap(lambda t: field.apply(
+            params, state, t, True, method=DeformationField.deform)[:3])(ts)
+        for a, b in zip(fast, slow):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=1e-4)
+
+    def test_deform_frames_gradients_flow_to_grids(self):
+        import jax
+        import jax.numpy as jnp
+        from animate3d_tpu.gaussians.deform import DeformationField, DeformConfig
+        from animate3d_tpu.gaussians.state import random_state
+
+        state = random_state(jax.random.PRNGKey(0), 20, radius=0.4)
+        field = DeformationField(DeformConfig(
+            grid_sizes=((6, 6, 6, 3),), grid_feature_dim=4, mlp_width=8))
+        params = field.init(jax.random.PRNGKey(1), state, jnp.asarray(0.3))
+        params = jax.tree_util.tree_map(
+            lambda p: p + 0.05 * jnp.ones_like(p), params)
+        ts = jnp.asarray([-1.0, 0.5], jnp.float32)
+
+        def loss(p):
+            xyz, rot, sc = field.apply(p, state, ts, True,
+                                       method=DeformationField.deform_frames)
+            return jnp.sum(xyz ** 2) + jnp.sum(rot ** 2) + jnp.sum(sc ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = {"/".join(str(k) for k in path): v
+                  for path, v in jax.tree_util.tree_flatten_with_path(g)[0]}
+        grid_gs = [v for k, v in leaves.items() if "grid_" in k]
+        assert grid_gs and all(np.isfinite(np.asarray(v)).all() for v in grid_gs)
+        assert any(np.abs(np.asarray(v)).max() > 0 for v in grid_gs)
