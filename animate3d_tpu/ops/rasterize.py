@@ -199,8 +199,7 @@ def _select_k(neg_score: jnp.ndarray, k: int, cfg: RasterConfig):
     return jax.lax.top_k(neg_score, k)
 
 
-def _tile_select_hier(proj: Projected, cfg: RasterConfig
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+def _tile_select_hier(proj: Projected, cfg: RasterConfig, field_rows=None):
     """Hierarchical tile binning: coarse depth-sorted candidate lists, then
     per-fine-tile first-K compaction.
 
@@ -214,7 +213,15 @@ def _tile_select_hier(proj: Projected, cfg: RasterConfig
 
     Returns (idx (T, K) int32, ok (T, K) bool, overflow () int32 — dropped
     gaussian·tile pairs from either the fine K cap or coarse_k truncation,
-    the accounting the CUDA rasterizer's unbounded lists never need)."""
+    the accounting the CUDA rasterizer's unbounded lists never need,
+    fields (T, NFIELD, K) or None).
+
+    ``field_rows`` (NFIELD, N): when given, per-tile field planes are built
+    INSIDE the compaction — field values are gathered once per coarse tile
+    (small) and selected by the same stop-gradient one-hot contraction, so
+    neither the (T·K) forward gathers nor their scatter-add backward ever
+    appear (pack_fields replacement; row 10 must be ones — the contraction
+    turns it into the per-slot ok mask)."""
     t = cfg.tile
     ty, tx = cfg.tiles_y, cfg.tiles_x
     cs = cfg.coarse
@@ -262,52 +269,81 @@ def _tile_select_hier(proj: Projected, cfg: RasterConfig
     c_count = c_count.reshape(-1)[:n_ct]
 
     # --- fine pass: first-K hits from the (sorted) coarse candidates ---
+    # candidate AABBs are gathered ONCE per coarse tile ((n_ct, kc) — small);
+    # fine tiles then index whole parent ROWS (contiguous), avoiding the
+    # (T·kc)-element random gathers from N that dominated this pass
+    c_x0g = gx0[cidx]  # (n_ct, kc)
+    c_x1g = gx1[cidx]
+    c_y0g = gy0[cidx]
+    c_y1g = gy1[cidx]
+    cand_fields = None
+    if field_rows is not None:
+        cand_fields = field_rows[:, cidx]  # (NFIELD, n_ct, kc)
+
     f_ids = jnp.arange(ty * tx, dtype=jnp.int32)
     f_x0 = ((f_ids % tx) * t).astype(jnp.float32)
     f_y0 = ((f_ids // tx) * t).astype(jnp.float32)
     c_of_f = ((f_ids // tx) // cs) * ctx_ + (f_ids % tx) // cs
 
-    cand = cidx[c_of_f]  # (T, kc)
-    cand_ok = cok[c_of_f]
     kk = min(cfg.max_per_tile, kc)
 
     def fine_chunk(args):
-        fc, fok, fx0, fy0 = args  # (C, kc), (C, kc), (C,), (C,)
+        cf, fx0, fy0 = args  # (C,) coarse parent ids, (C,), (C,)
+        fc = cidx[cf]  # (C, kc) — contiguous row gathers
+        fok = cok[cf]
         ov = (
-            (gx1[fc] >= fx0[:, None])
-            & (gx0[fc] < (fx0[:, None] + t))
-            & (gy1[fc] >= fy0[:, None])
-            & (gy0[fc] < (fy0[:, None] + t))
+            (c_x1g[cf] >= fx0[:, None])
+            & (c_x0g[cf] < (fx0[:, None] + t))
+            & (c_y1g[cf] >= fy0[:, None])
+            & (c_y0g[cf] < (fy0[:, None] + t))
             & fok
         )
-        pos = jnp.arange(kc, dtype=jnp.float32)
-        key = jnp.where(ov, -pos[None, :], -big)
-        vals, sel = _select_k(key, kk, cfg)  # earliest (nearest) hits first
-        ok = vals > -big * 0.5
-        idx = jnp.take_along_axis(fc, sel, axis=1)
-        return idx, ok, jnp.sum(ov, axis=1).astype(jnp.int32)
+        # sort-free first-K compaction: candidates are already depth-sorted,
+        # so the hit-rank (cumsum) IS the output position; scatter by
+        # one-hot contraction (MXU) instead of top_k (TPU sort is the
+        # dominant binning cost at these shapes)
+        gpos = jnp.cumsum(ov.astype(jnp.int32), axis=1) - 1  # (C, kc)
+        keep = ov & (gpos < kk)
+        onehot = ((gpos[:, :, None] == jnp.arange(kk, dtype=jnp.int32))
+                  & keep[:, :, None]).astype(jnp.float32)  # (C, kc, K)
+        idx = jnp.einsum("tc,tck->tk", fc.astype(jnp.float32), onehot,
+                         precision=jax.lax.Precision.HIGHEST
+                         ).astype(jnp.int32)
+        count = jnp.sum(ov, axis=1).astype(jnp.int32)
+        ok = jnp.arange(kk, dtype=jnp.int32)[None, :] < jnp.minimum(count, kk)[:, None]
+        if cand_fields is None:
+            return idx, ok, count
+        ftile = jnp.einsum("rtc,tck->trk", cand_fields[:, cf],
+                           jax.lax.stop_gradient(onehot),
+                           precision=jax.lax.Precision.HIGHEST)
+        return idx, ok, count, ftile
 
     fchunk = max(1, min(cfg.tile_chunk * 4, ty * tx))
     n_t = ty * tx
     padf = (-n_t) % fchunk
-    pad2 = lambda a: jnp.pad(a, ((0, padf), (0, 0))).reshape(-1, fchunk, a.shape[1])
-    idx, ok, f_count = jax.lax.map(
+    out = jax.lax.map(
         fine_chunk,
-        (pad2(cand), pad2(cand_ok),
+        (jnp.pad(c_of_f, (0, padf)).reshape(-1, fchunk),
          jnp.pad(f_x0, (0, padf)).reshape(-1, fchunk),
          jnp.pad(f_y0, (0, padf)).reshape(-1, fchunk)))
+    idx, ok, f_count = out[:3]
     idx = idx.reshape(-1, kk)[:n_t]
     ok = ok.reshape(-1, kk)[:n_t]
     f_count = f_count.reshape(-1)[:n_t]
+    fields = None
+    if field_rows is not None:
+        fields = out[3].reshape(-1, field_rows.shape[0], kk)[:n_t]
 
     if kk < cfg.max_per_tile:
         padk = cfg.max_per_tile - kk
         idx = jnp.pad(idx, ((0, 0), (0, padk)))
         ok = jnp.pad(ok, ((0, 0), (0, padk)))
+        if fields is not None:
+            fields = jnp.pad(fields, ((0, 0), (0, 0), (0, padk)))
 
     overflow = (jnp.sum(jnp.maximum(f_count - kk, 0))
                 + jnp.sum(jnp.maximum(c_count - kc, 0)))
-    return idx, ok, overflow
+    return idx, ok, overflow, fields
 
 
 def _tile_select(proj: Projected, cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -518,17 +554,33 @@ def rasterize(
     else:
         colors = colors_precomp
 
-    if cfg.coarse > 0 and cfg.tiles_x * cfg.tiles_y > cfg.coarse ** 2:
-        idx, ok, overflow = _tile_select_hier(proj, cfg)
+    use_pallas = backend == "pallas" or (
+        backend == "auto" and jax.default_backend() == "tpu" and cfg.tile == 16)
+    use_hier = cfg.coarse > 0 and cfg.tiles_x * cfg.tiles_y > cfg.coarse ** 2
+
+    fields = None
+    if use_hier:
+        field_rows = None
+        if use_pallas:
+            # fields compacted inside the binning (no (T·K) gathers; row 10
+            # ones → ok mask after the one-hot contraction)
+            n = proj.depth.shape[0]
+            field_rows = jnp.stack([
+                proj.mean2d[:, 0], proj.mean2d[:, 1],
+                proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+                opacity, colors[:, 0], colors[:, 1], colors[:, 2],
+                proj.depth, jnp.ones((n,), jnp.float32),
+                jnp.zeros((n,), jnp.float32),
+            ])
+        idx, ok, overflow, fields = _tile_select_hier(proj, cfg, field_rows)
     else:
         idx, ok, overflow = _tile_select(proj, cfg)
 
-    use_pallas = backend == "pallas" or (
-        backend == "auto" and jax.default_backend() == "tpu" and cfg.tile == 16)
     if use_pallas:
-        from animate3d_tpu.ops.rasterize_pallas import pack_fields
+        if fields is None:
+            from animate3d_tpu.ops.rasterize_pallas import pack_fields
 
-        fields = pack_fields(proj, colors, opacity, idx, ok)
+            fields = pack_fields(proj, colors, opacity, idx, ok)
         t_tiles = fields.shape[0]
         tile_ids = jnp.arange(t_tiles, dtype=jnp.float32)
         origins = jnp.stack([(tile_ids % cfg.tiles_x) * cfg.tile,
