@@ -199,6 +199,126 @@ def _select_k(neg_score: jnp.ndarray, k: int, cfg: RasterConfig):
     return jax.lax.top_k(neg_score, k)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _composite_coarse_fields(fields, corigins, tile, cs, alpha_min, alpha_max):
+    """Coarse-direct Pallas compositing: every program loads ONE coarse
+    parent's depth-sorted candidate fields (NFIELD, kc) into VMEM and
+    composites its cs×cs fine tiles straight off them — the alpha gates
+    subsume the per-fine-tile hit test, so no fine binning pass or per-tile
+    field compaction exists at all (ops/rasterize_pallas.py)."""
+    from animate3d_tpu.ops.rasterize_pallas import composite_coarse_pallas
+
+    interpret = jax.default_backend() != "tpu"
+    return composite_coarse_pallas(corigins, fields, tile=tile, cs=cs,
+                                   alpha_min=alpha_min, alpha_max=alpha_max,
+                                   interpret=interpret)
+
+
+def _composite_coarse_fwd(fields, corigins, tile, cs, alpha_min, alpha_max):
+    out = _composite_coarse_fields(fields, corigins, tile, cs, alpha_min,
+                                   alpha_max)
+    return out, (fields, corigins)
+
+
+def _composite_coarse_bwd(tile, cs, alpha_min, alpha_max, res, g):
+    fields, corigins = res
+    from animate3d_tpu.ops.rasterize_pallas import composite_coarse_pallas_bwd
+
+    interpret = jax.default_backend() != "tpu"
+    grad = composite_coarse_pallas_bwd(corigins, fields, g, tile=tile, cs=cs,
+                                       alpha_min=alpha_min,
+                                       alpha_max=alpha_max,
+                                       interpret=interpret)
+    return grad, jnp.zeros_like(corigins)
+
+
+_composite_coarse_fields.defvjp(_composite_coarse_fwd, _composite_coarse_bwd)
+
+
+def _coarse_select(proj: Projected, cfg: RasterConfig):
+    """Coarse binning only: per coarse tile, the kc depth-nearest overlapping
+    gaussians, sorted front-to-back. → (cidx (n_ct, kc), cok, c_count)."""
+    t = cfg.tile
+    ty, tx = cfg.tiles_y, cfg.tiles_x
+    cs = cfg.coarse
+    cty = -(-ty // cs)
+    ctx_ = -(-tx // cs)
+    n = proj.depth.shape[0]
+    big = jnp.float32(1e10)
+    depth = jnp.where(proj.valid, proj.depth, big)
+
+    x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
+    r = proj.radius
+    gx0, gx1 = x - r, x + r
+    gy0, gy1 = y - r, y + r
+
+    kc = min(cfg.coarse_k, n)
+    c_ids = jnp.arange(cty * ctx_, dtype=jnp.int32)
+    c_x0 = (c_ids % ctx_) * (cs * t)
+    c_y0 = (c_ids // ctx_) * (cs * t)
+    ext = cs * t
+
+    def coarse_chunk(args):
+        cx0, cy0 = args
+        ov = (
+            (gx1[None, :] >= cx0[:, None])
+            & (gx0[None, :] < (cx0[:, None] + ext))
+            & (gy1[None, :] >= cy0[:, None])
+            & (gy0[None, :] < (cy0[:, None] + ext))
+            & proj.valid[None, :]
+        )
+        score = jnp.where(ov, depth[None, :], big)
+        neg, idx = _select_k(-score, kc, cfg)
+        return (idx.astype(jnp.int32), (-neg) < big,
+                jnp.sum(ov, axis=1).astype(jnp.int32))
+
+    cchunk = max(1, min(cfg.tile_chunk, cty * ctx_))
+    n_ct = cty * ctx_
+    padc = (-n_ct) % cchunk
+    cx0p = jnp.pad(c_x0, (0, padc)).reshape(-1, cchunk)
+    cy0p = jnp.pad(c_y0, (0, padc)).reshape(-1, cchunk)
+    cidx, cok, c_count = jax.lax.map(coarse_chunk, (cx0p, cy0p))
+    cidx = cidx.reshape(-1, kc)[:n_ct]
+    cok = cok.reshape(-1, kc)[:n_ct]
+    c_count = c_count.reshape(-1)[:n_ct]
+    return cidx, cok, c_count, (c_x0.astype(jnp.float32),
+                                c_y0.astype(jnp.float32))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _compact_rows(cand: jnp.ndarray, code: jnp.ndarray, kk: int) -> jnp.ndarray:
+    """Depth-ordered stream compaction of field rows by one-hot contraction.
+
+    cand (R, C, kc) candidate field rows; code (C, kc) f32 = output slot of
+    each kept candidate, −1 for dropped → (C, R, kk) compacted planes.
+
+    custom_vjp so the backward stores only ``code`` ((C, kc) — the autodiff
+    rule would save the (C, kc, kk) one-hot itself, 137 GB across the refine
+    step's chunk maps) and recovers d(cand) with a take_along_axis."""
+    onehot = ((code[:, :, None] == jnp.arange(kk, dtype=jnp.float32))
+              & (code[:, :, None] >= 0.0)).astype(jnp.float32)
+    return jnp.einsum("rtc,tck->trk", cand, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _compact_rows_fwd(cand, code, kk):
+    return _compact_rows(cand, code, kk), code
+
+
+def _compact_rows_bwd(kk, code, g):
+    # d(cand)[r, t, c] = g[t, r, code[t,c]] where kept, else 0
+    keep = code >= 0.0
+    idx = jnp.clip(code, 0.0, kk - 1).astype(jnp.int32)  # (C, kc)
+    r = g.shape[1]
+    idx3 = jnp.broadcast_to(idx[:, None, :], (idx.shape[0], r, idx.shape[1]))
+    gathered = jnp.take_along_axis(g, idx3, axis=2)  # (C, R, kc)
+    d_cand = jnp.where(keep[:, None, :], gathered, 0.0).transpose(1, 0, 2)
+    return d_cand, jnp.zeros_like(code)
+
+
+_compact_rows.defvjp(_compact_rows_fwd, _compact_rows_bwd)
+
+
 def _tile_select_hier(proj: Projected, cfg: RasterConfig, field_rows=None):
     """Hierarchical tile binning: coarse depth-sorted candidate lists, then
     per-fine-tile first-K compaction.
@@ -313,12 +433,17 @@ def _tile_select_hier(proj: Projected, cfg: RasterConfig, field_rows=None):
         ok = jnp.arange(kk, dtype=jnp.int32)[None, :] < jnp.minimum(count, kk)[:, None]
         if cand_fields is None:
             return idx, ok, count
-        ftile = jnp.einsum("rtc,tck->trk", cand_fields[:, cf],
-                           jax.lax.stop_gradient(onehot),
-                           precision=jax.lax.Precision.HIGHEST)
+        code = jnp.where(keep, gpos.astype(jnp.float32), -1.0)
+        ftile = _compact_rows(cand_fields[:, cf],
+                              jax.lax.stop_gradient(code), kk)
         return idx, ok, count, ftile
 
-    fchunk = max(1, min(cfg.tile_chunk * 4, ty * tx))
+    # chunk so the (fchunk, kc, K) one-hot stays ≤ ~8M elements — at 1024²
+    # (4096 tiles) an unbounded chunk under the renderer's view-vmap
+    # materializes beyond HBM (the renderer also shrinks its view chunk as
+    # tiles grow, renderer4d.py)
+    fchunk = max(1, min(cfg.tile_chunk * 4, ty * tx,
+                        (1 << 23) // max(kc * kk, 1)))
     n_t = ty * tx
     padf = (-n_t) % fchunk
     out = jax.lax.map(
@@ -558,35 +683,60 @@ def rasterize(
         backend == "auto" and jax.default_backend() == "tpu" and cfg.tile == 16)
     use_hier = cfg.coarse > 0 and cfg.tiles_x * cfg.tiles_y > cfg.coarse ** 2
 
-    fields = None
-    if use_hier:
-        field_rows = None
-        if use_pallas:
-            # fields compacted inside the binning (no (T·K) gathers; row 10
-            # ones → ok mask after the one-hot contraction)
-            n = proj.depth.shape[0]
-            field_rows = jnp.stack([
-                proj.mean2d[:, 0], proj.mean2d[:, 1],
-                proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
-                opacity, colors[:, 0], colors[:, 1], colors[:, 2],
-                proj.depth, jnp.ones((n,), jnp.float32),
-                jnp.zeros((n,), jnp.float32),
-            ])
-        idx, ok, overflow, fields = _tile_select_hier(proj, cfg, field_rows)
+    planes = None
+    if use_pallas and use_hier:
+        # coarse-direct path: composite every fine tile straight from its
+        # coarse parent's depth-sorted candidate list — the alpha gates do
+        # the per-fine-tile rejection, so there is no fine binning pass and
+        # no per-tile field compaction at all. The only capacity cap is
+        # coarse_k (counted below), matching the CUDA kernel's semantics
+        # more closely than the old per-fine-tile K cap.
+        cidx, cok, c_count, (c_x0, c_y0) = _coarse_select(proj, cfg)
+        kc = cidx.shape[1]
+        rows10 = jnp.stack([
+            proj.mean2d[:, 0], proj.mean2d[:, 1],
+            proj.conic[:, 0], proj.conic[:, 1], proj.conic[:, 2],
+            opacity, colors[:, 0], colors[:, 1], colors[:, 2], proj.depth,
+        ])
+        cand = rows10[:, cidx]  # (10, n_ct, kc) — small coarse-level gathers
+        okrow = cok.astype(jnp.float32)[None]
+        # row 11 = 3σ radius: the kernel's per-fine-tile AABB gate (CUDA
+        # per-tile list semantics; non-differentiable selection)
+        radrow = jax.lax.stop_gradient(proj.radius[cidx])[None]
+        fields_c = jnp.concatenate(
+            [cand, jax.lax.stop_gradient(okrow), radrow],
+            axis=0).transpose(1, 0, 2)  # (n_ct, 12, kc)
+        pad_kc = (-kc) % 128
+        if pad_kc:
+            fields_c = jnp.pad(fields_c, ((0, 0), (0, 0), (0, pad_kc)))
+        corigins = jnp.stack([c_x0, c_y0], axis=1)
+        planes4 = _composite_coarse_fields(fields_c, corigins, cfg.tile,
+                                           cfg.coarse, cfg.alpha_min,
+                                           cfg.alpha_max)
+        cs = cfg.coarse
+        cty = -(-cfg.tiles_y // cs)
+        ctx_ = -(-cfg.tiles_x // cs)
+        px = cfg.tile * cfg.tile
+        p = planes4.reshape(cty, ctx_, cs, cs, 8, px)
+        p = p.transpose(0, 2, 1, 3, 4, 5).reshape(cty * cs, ctx_ * cs, 8, px)
+        planes = p[: cfg.tiles_y, : cfg.tiles_x].reshape(-1, 8, px)
+        overflow = jnp.sum(jnp.maximum(c_count - kc, 0))
+    elif use_hier:
+        idx, ok, overflow, _ = _tile_select_hier(proj, cfg)
     else:
         idx, ok, overflow = _tile_select(proj, cfg)
 
     if use_pallas:
-        if fields is None:
+        if planes is None:
             from animate3d_tpu.ops.rasterize_pallas import pack_fields
 
             fields = pack_fields(proj, colors, opacity, idx, ok)
-        t_tiles = fields.shape[0]
-        tile_ids = jnp.arange(t_tiles, dtype=jnp.float32)
-        origins = jnp.stack([(tile_ids % cfg.tiles_x) * cfg.tile,
-                             (tile_ids // cfg.tiles_x) * cfg.tile], axis=1)
-        planes = _composite_fields(fields, origins, cfg.tile,
-                                   cfg.alpha_min, cfg.alpha_max)
+            t_tiles = fields.shape[0]
+            tile_ids = jnp.arange(t_tiles, dtype=jnp.float32)
+            origins = jnp.stack([(tile_ids % cfg.tiles_x) * cfg.tile,
+                                 (tile_ids // cfg.tiles_x) * cfg.tile], axis=1)
+            planes = _composite_fields(fields, origins, cfg.tile,
+                                       cfg.alpha_min, cfg.alpha_max)
 
         def untile(a):  # (T, PX) → (H, W)
             a = a.reshape(cfg.tiles_y, cfg.tiles_x, cfg.tile, cfg.tile)

@@ -275,6 +275,233 @@ def composite_fields_pallas_bwd(
     return out[:t]
 
 
+# ---------------------------------------------------------------------------
+# Coarse-direct compositing: one program per COARSE tile — the parent's
+# depth-sorted candidate fields (NFIELD, kc) load into VMEM once and all
+# cs×cs fine tiles composite straight off them. The alpha gates (power ≤ 0,
+# alpha ≥ 1/255) subsume the per-fine-tile hit test, so the fine binning
+# pass and its (T, kc, K) one-hot/field traffic disappear entirely —
+# per-view HBM drops from ~550 MB to ~40 MB at 1024².
+
+
+def _tile_hit(fields_ref, sl, kb, tx0, ty0, tile):
+    """(1, kb) AABB-overlaps-this-fine-tile gate (row 11 = 3σ radius) —
+    reproduces the CUDA kernel's per-tile list semantics: a gaussian whose
+    AABB misses the tile contributes nothing even where alpha ≥ 1/255."""
+    xb = fields_ref[0, 0, sl].reshape(1, kb)
+    yb = fields_ref[0, 1, sl].reshape(1, kb)
+    rb = fields_ref[0, 11, sl].reshape(1, kb)
+    return ((xb + rb >= tx0) & (xb - rb < tx0 + tile)
+            & (yb + rb >= ty0) & (yb - rb < ty0 + tile))
+
+
+def _composite_coarse_kernel(corig_ref, fields_ref, out_ref, *, kc: int,
+                             tile: int, cs: int, alpha_min: float,
+                             alpha_max: float, kb: int):
+    px_count = tile * tile
+    f32 = jnp.float32
+    nblocks = kc // kb
+    ci = pl.program_id(0)
+
+    # fori_loop over the cs*cs fine tiles (a python unroll of 16 tiles blew
+    # the VMEM temporaries stack on real hardware)
+    def body(local, _):
+        fx = jnp.mod(local, cs)
+        fy = local // cs
+        tx0 = corig_ref[ci, 0] + fx.astype(f32) * tile
+        ty0 = corig_ref[ci, 1] + fy.astype(f32) * tile
+        lin = jax.lax.broadcasted_iota(jnp.int32, (px_count, 1), 0)
+        gx = jnp.mod(lin, tile).astype(f32) + tx0
+        gy = (lin // tile).astype(f32) + ty0
+
+        t_carry = jnp.ones((px_count, 1), f32)
+        rgbd = jnp.zeros((px_count, 4), f32)
+        a_acc = jnp.zeros((px_count, 1), f32)
+        for b in range(nblocks):
+            sl = pl.ds(b * kb, kb)
+            alpha, _ = _block_alpha(fields_ref, 0, sl, gx, gy, kb,
+                                    alpha_min, alpha_max)
+            alpha = jnp.where(_tile_hit(fields_ref, sl, kb, tx0, ty0, tile),
+                              alpha, 0.0)
+            excl, tot = _lane_prefix_prods(1.0 - alpha, kb)
+            w = alpha * excl * t_carry
+            cm = fields_ref[0, 6:10, sl]
+            rgbd = rgbd + jax.lax.dot_general(
+                w, cm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
+            a_acc = a_acc + jnp.sum(w, axis=1, keepdims=True)
+            t_carry = t_carry * tot
+
+        out = jnp.concatenate(
+            [rgbd[:, 0:3].T, a_acc.T, rgbd[:, 3:4].T, t_carry.T,
+             jnp.zeros((2, px_count), f32)], axis=0)  # (8, PX)
+        out_ref[0, local] = out
+        return 0
+
+    jax.lax.fori_loop(0, cs * cs, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "cs", "alpha_min",
+                                             "alpha_max", "interpret"))
+def composite_coarse_pallas(
+    corigins: jnp.ndarray,  # (n_ct, 2) f32 coarse-tile pixel origins
+    fields: jnp.ndarray,  # (n_ct, NFIELD, kc) f32 depth-sorted candidates
+    tile: int = 16,
+    cs: int = 4,
+    alpha_min: float = 1.0 / 255.0,
+    alpha_max: float = 0.99,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """→ (n_ct, cs², 8, PX) channel planes per fine tile (coarse-major)."""
+    n_ct, nf, kc = fields.shape
+    assert nf == NFIELD
+    kb = min(kc, 128)
+    assert kc % kb == 0, (kc, kb)
+    px_count = tile * tile
+    return pl.pallas_call(
+        functools.partial(_composite_coarse_kernel, kc=kc, tile=tile, cs=cs,
+                          alpha_min=alpha_min, alpha_max=alpha_max, kb=kb),
+        grid=(n_ct,),
+        in_specs=[
+            pl.BlockSpec((n_ct, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NFIELD, kc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, cs * cs, 8, px_count),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_ct, cs * cs, 8, px_count),
+                                       jnp.float32),
+        interpret=interpret,
+    )(corigins, fields)
+
+
+def _composite_coarse_bwd_kernel(corig_ref, fields_ref, cot_ref, grad_ref,
+                                 alpha_buf, t_buf, *, kc: int, tile: int,
+                                 cs: int, alpha_min: float, alpha_max: float,
+                                 kb: int):
+    px_count = tile * tile
+    f32 = jnp.float32
+    nblocks = kc // kb
+    ci = pl.program_id(0)
+    # field grads accumulate straight into the output block across fine
+    # tiles; fori_loop instead of unrolling (the unrolled 16-tile version
+    # blew the VMEM temporaries stack on hardware)
+    grad_ref[0] = jnp.zeros((NFIELD, kc), f32)
+
+    def body(local, _):
+        fx = jnp.mod(local, cs)
+        fy = local // cs
+        tx0 = corig_ref[ci, 0] + fx.astype(f32) * tile
+        ty0 = corig_ref[ci, 1] + fy.astype(f32) * tile
+        lin = jax.lax.broadcasted_iota(jnp.int32, (px_count, 1), 0)
+        gx = jnp.mod(lin, tile).astype(f32) + tx0
+        gy = (lin // tile).astype(f32) + ty0
+
+        # pass 1: forward recompute of alpha and per-gaussian transmittance
+        t_carry = jnp.ones((px_count, 1), f32)
+        for b in range(nblocks):
+            sl = pl.ds(b * kb, kb)
+            alpha, _ = _block_alpha(fields_ref, 0, sl, gx, gy, kb,
+                                    alpha_min, alpha_max)
+            alpha = jnp.where(_tile_hit(fields_ref, sl, kb, tx0, ty0, tile),
+                              alpha, 0.0)
+            excl, tot = _lane_prefix_prods(1.0 - alpha, kb)
+            alpha_buf[:, sl] = alpha
+            t_buf[:, sl] = excl * t_carry
+            t_carry = t_carry * tot
+        tfinal = t_carry
+
+        col = lambda i: cot_ref[0, local, i, :].reshape(px_count, 1)
+        gr, gg, gb, ga, gd, g_t = (col(i) for i in range(6))
+        g_t_tf = g_t * tfinal
+
+        # pass 2: reverse over blocks, accumulating into grad_ref
+        s_carry = jnp.zeros((px_count, 1), f32)
+        for b in range(nblocks - 1, -1, -1):
+            sl = pl.ds(b * kb, kb)
+            alpha = alpha_buf[:, sl]
+            t_k = t_buf[:, sl]
+            w = alpha * t_k
+            row = lambda i: fields_ref[0, i, sl].reshape(1, kb)
+            dw = (gr * row(6) + gg * row(7) + gb * row(8) + gd * row(9) + ga)
+            dww = dw * w
+            suffix_incl, block_total = _lane_suffix_sums(dww, kb)
+            s_k = suffix_incl - dww + s_carry
+            dalpha = dw * t_k - (s_k + g_t_tf) / (1.0 - alpha)
+
+            _, (dx, dy, ca, cb_, cc, e, raw, live) = _block_alpha(
+                fields_ref, 0, sl, gx, gy, kb, alpha_min, alpha_max)
+            pass_th = jnp.where(jnp.logical_and(live, raw <= alpha_max),
+                                1.0, 0.0)
+            pass_th = jnp.where(_tile_hit(fields_ref, sl, kb, tx0, ty0, tile),
+                                pass_th, 0.0)
+            dop = dalpha * e * pass_th
+            dpow = dalpha * raw * pass_th
+
+            red = lambda v: jnp.sum(v, axis=0)  # (kb,)
+            contrib = [
+                red(dpow * (-ca * dx - cb_ * dy)),
+                red(dpow * (-cc * dy - cb_ * dx)),
+                red(dpow * (-0.5 * dx * dx)),
+                red(dpow * (-dx * dy)),
+                red(dpow * (-0.5 * dy * dy)),
+                red(dop),
+                red(w * gr),
+                red(w * gg),
+                red(w * gb),
+                red(w * gd),
+            ]
+            for r, c in enumerate(contrib):
+                grad_ref[0, r, sl] = grad_ref[0, r, sl] + c
+            s_carry = s_carry + block_total
+        return 0
+
+    jax.lax.fori_loop(0, cs * cs, body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile", "cs", "alpha_min",
+                                             "alpha_max", "interpret"))
+def composite_coarse_pallas_bwd(
+    corigins: jnp.ndarray,  # (n_ct, 2)
+    fields: jnp.ndarray,  # (n_ct, NFIELD, kc)
+    cotangents: jnp.ndarray,  # (n_ct, cs², 8, PX)
+    tile: int = 16,
+    cs: int = 4,
+    alpha_min: float = 1.0 / 255.0,
+    alpha_max: float = 0.99,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """→ grad fields (n_ct, NFIELD, kc)."""
+    n_ct, nf, kc = fields.shape
+    assert nf == NFIELD
+    kb = min(kc, 128)
+    assert kc % kb == 0, (kc, kb)
+    px_count = tile * tile
+    return pl.pallas_call(
+        functools.partial(_composite_coarse_bwd_kernel, kc=kc, tile=tile,
+                          cs=cs, alpha_min=alpha_min, alpha_max=alpha_max,
+                          kb=kb),
+        grid=(n_ct,),
+        in_specs=[
+            pl.BlockSpec((n_ct, 2), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NFIELD, kc), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cs * cs, 8, px_count), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, NFIELD, kc), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_ct, NFIELD, kc), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((px_count, kc), jnp.float32),  # alpha
+            pltpu.VMEM((px_count, kc), jnp.float32),  # per-gaussian T
+        ],
+        interpret=interpret,
+    )(corigins, fields, cotangents)
+
+
 def pack_fields(proj, colors: jnp.ndarray, opacity: jnp.ndarray,
                 idx: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
     """Gather per-tile gaussian fields in the (T, 12, K) K-on-lanes layout.

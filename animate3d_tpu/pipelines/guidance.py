@@ -290,6 +290,15 @@ def build_guidance_from_config(sys_cfg, acfg):
     if "unet" not in loaded and "motion_ckpt" not in loaded:
         print("[guidance] WARNING: randomly initialized guidance (smoke mode)")
 
+    # the guidance stack is frozen; keep its weights bf16 like the reference
+    # keeps its guidance fp16 (animatemv_guidance.py:105 torch_dtype=float16)
+    # — halves the resident HBM next to the trainable 4D stage
+    to_bf16 = lambda t: jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, t)
+    unet_params = to_bf16(unet_params)
+    vae_params = to_bf16(vae_params)
+
     from animate3d_tpu.ops.attention import attention_backend
 
     def unet_apply(p, lat, t, ctx, cam, ie, i2v_cond_time_zero=False):

@@ -129,7 +129,14 @@ def render_batch(
         return (jnp.clip(out.rgb, 0.0, 1.0), out.depth, out.alpha, out.radii,
                 xyz, rot, scales)
 
-    c = min(cfg.view_chunk, b)
+    # shrink the per-chunk view count as tile count grows so the per-view
+    # channel planes (tiles · 8 · px) stay modest under the vmap; the
+    # coarse-direct compositing path (ops/rasterize.py) keeps per-view
+    # residuals at ~6 MB even at 1024², so no remat is needed
+    rcfg0 = cfg.raster_config()
+    tiles = rcfg0.tiles_x * rcfg0.tiles_y
+    mem_cap = max(1, (1 << 26) // max(tiles * 8 * rcfg0.tile ** 2, 1))
+    c = min(cfg.view_chunk, mem_cap, b)
     pad = (-b) % c
 
     def pad_chunk(x):

@@ -381,8 +381,18 @@ class Animate3DSystem:
 
     def _render_guidance_rgb(self, params, guidance_batch):
         """Guidance-batch renders (fwd). Shared by the fwd pass and the VJP
-        surrogate so the rasterizer never shares a program with the UNet."""
+        surrogate so the rasterizer never shares a program with the UNet.
+
+        Rendered at the GUIDANCE input size (256²) — the reference's SDS
+        batch comes from the random_camera sampler with its own 256²
+        resolution (refine_frame_16.yaml data.random_camera), independent of
+        the 1024² reconstruction renders."""
+        import dataclasses
+
         cfg = self.cfg
+        g_res = (self.guidance.cfg.image_size if self.guidance is not None
+                 else cfg.renderer.height)
+        rcfg = dataclasses.replace(cfg.renderer, height=g_res, width=g_res)
         g = guidance_batch
         frame_ts = g["timestamps"][: cfg.n_frame]
         deformed = self.field.apply(params, self.state, frame_ts, True,
@@ -394,7 +404,7 @@ class Animate3DSystem:
 
         return render_batch(
             self.state, deform_fn, g["cameras"], g["timestamps"],
-            cfg.renderer, key=None, do_reconstruction=True,
+            rcfg, key=None, do_reconstruction=True,
             do_guidance=True).rgb
 
     def _sds_render_vjp_impl(self, params, guidance_batch, rgb_cotangent):

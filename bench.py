@@ -22,22 +22,29 @@ BASELINE_MINUTES = 15.0
 FIXED_OVERHEAD_SEC = 30.0
 
 
-def chain_bench(step_fn, x0, iters: int):
+def chain_bench(step_fn, x0, iters: int, consts=None):
     """Seconds per iteration of ``step_fn`` chained inside ONE jit program
     with a data dependency between iterations, measured as the two-point
     difference (t(n+iters) − t(n)) / iters with a forced scalar fetch.
 
     Per-call wall-clock through the device tunnel is unreliable: identical
     dispatches are memoized, block_until_ready doesn't reliably block, and
-    per-dispatch overhead is several ms — this scheme cancels all of it."""
+    per-dispatch overhead is several ms — this scheme cancels all of it.
+
+    Pass large closed-over pytrees (model params) via ``consts`` —
+    ``step_fn(consts, x)`` is then used — so they enter the program as
+    ARGUMENTS; a closure capture lowers them as literal constants (6 GB of
+    IR for the SD1.5 UNet) and multiplies compile time."""
     import jax
     import jax.numpy as jnp
 
+    fn = step_fn if consts is not None else (lambda c, x: step_fn(x))
+
     def make(n):
         @jax.jit
-        def run(x):
+        def run(c, x):
             def body(i, x):
-                y = step_fn(x)
+                y = fn(c, x)
                 return jax.tree_util.tree_map(
                     lambda a, b: 0.999 * a + 0.001 * b.astype(a.dtype), x, y)
             out = jax.lax.fori_loop(0, n, body, x)
@@ -48,13 +55,13 @@ def chain_bench(step_fn, x0, iters: int):
     n1, n2 = 1, 1 + iters
     r1, r2 = make(n1), make(n2)
     bump = lambda x: jax.tree_util.tree_map(lambda a: a + a.dtype.type(1e-5), x)
-    float(r1(x0)), float(r2(x0))  # compile both
+    float(r1(consts, x0)), float(r2(consts, x0))  # compile both
     x1 = bump(x0)
     t0 = time.perf_counter()
-    float(r1(x1))
+    float(r1(consts, x1))
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(r2(x1))
+    float(r2(consts, x1))
     t2 = time.perf_counter() - t0
     return max(t2 - t1, 1e-9) / (n2 - n1)
 
@@ -78,8 +85,8 @@ def bench_denoise_step() -> float:
     params = jax.jit(model.init)(jax.random.PRNGKey(0), latents[:4, :2], t,
                                  text[:4], camera[:4], image_embeds[:4])
     return chain_bench(
-        lambda x: model.apply(params, x, t, text, camera, image_embeds),
-        latents, iters=5)
+        lambda p, x: model.apply(p, x, t, text, camera, image_embeds),
+        latents, iters=5, consts=params)
 
 
 def bench_raster_fps(n: int = 20000, res: int = 512) -> float:
