@@ -314,22 +314,35 @@ def _composite_coarse_kernel(corig_ref, fields_ref, out_ref, *, kc: int,
         gx = jnp.mod(lin, tile).astype(f32) + tx0
         gy = (lin // tile).astype(f32) + ty0
 
-        t_carry = jnp.ones((px_count, 1), f32)
-        rgbd = jnp.zeros((px_count, 4), f32)
-        a_acc = jnp.zeros((px_count, 1), f32)
-        for b in range(nblocks):
+        def blk(b, carry):
+            t_carry, rgbd, a_acc = carry
             sl = pl.ds(b * kb, kb)
-            alpha, _ = _block_alpha(fields_ref, 0, sl, gx, gy, kb,
-                                    alpha_min, alpha_max)
-            alpha = jnp.where(_tile_hit(fields_ref, sl, kb, tx0, ty0, tile),
-                              alpha, 0.0)
-            excl, tot = _lane_prefix_prods(1.0 - alpha, kb)
-            w = alpha * excl * t_carry
-            cm = fields_ref[0, 6:10, sl]
-            rgbd = rgbd + jax.lax.dot_general(
-                w, cm, (((1,), (1,)), ((), ())), preferred_element_type=f32)
-            a_acc = a_acc + jnp.sum(w, axis=1, keepdims=True)
-            t_carry = t_carry * tot
+            hit = _tile_hit(fields_ref, sl, kb, tx0, ty0, tile)
+            # skip blocks with no AABB hits for this fine tile (sparse at
+            # high res) or once every pixel's transmittance is exhausted
+            # (the CUDA kernel's early termination)
+            live = jnp.logical_and(jnp.any(hit), jnp.max(t_carry) > 1e-4)
+
+            def compute(c):
+                t_carry, rgbd, a_acc = c
+                alpha, _ = _block_alpha(fields_ref, 0, sl, gx, gy, kb,
+                                        alpha_min, alpha_max)
+                alpha = jnp.where(hit, alpha, 0.0)
+                excl, tot = _lane_prefix_prods(1.0 - alpha, kb)
+                w = alpha * excl * t_carry
+                cm = fields_ref[0, 6:10, sl]
+                rgbd = rgbd + jax.lax.dot_general(
+                    w, cm, (((1,), (1,)), ((), ())),
+                    preferred_element_type=f32)
+                a_acc = a_acc + jnp.sum(w, axis=1, keepdims=True)
+                return (t_carry * tot, rgbd, a_acc)
+
+            return jax.lax.cond(live, compute, lambda c: c, carry)
+
+        t_carry, rgbd, a_acc = jax.lax.fori_loop(
+            0, nblocks, blk,
+            (jnp.ones((px_count, 1), f32), jnp.zeros((px_count, 4), f32),
+             jnp.zeros((px_count, 1), f32)))
 
         out = jnp.concatenate(
             [rgbd[:, 0:3].T, a_acc.T, rgbd[:, 3:4].T, t_carry.T,
@@ -399,62 +412,87 @@ def _composite_coarse_bwd_kernel(corig_ref, fields_ref, cot_ref, grad_ref,
         gy = (lin // tile).astype(f32) + ty0
 
         # pass 1: forward recompute of alpha and per-gaussian transmittance
-        t_carry = jnp.ones((px_count, 1), f32)
-        for b in range(nblocks):
+        # (skipped blocks write zero alpha so pass 2's gates see them dead)
+        def blk1(b, t_carry):
             sl = pl.ds(b * kb, kb)
-            alpha, _ = _block_alpha(fields_ref, 0, sl, gx, gy, kb,
-                                    alpha_min, alpha_max)
-            alpha = jnp.where(_tile_hit(fields_ref, sl, kb, tx0, ty0, tile),
-                              alpha, 0.0)
-            excl, tot = _lane_prefix_prods(1.0 - alpha, kb)
+            hit = _tile_hit(fields_ref, sl, kb, tx0, ty0, tile)
+            can = jnp.logical_and(jnp.any(hit), jnp.max(t_carry) > 1e-4)
+
+            def compute(tc):
+                alpha, _ = _block_alpha(fields_ref, 0, sl, gx, gy, kb,
+                                        alpha_min, alpha_max)
+                alpha = jnp.where(hit, alpha, 0.0)
+                excl, tot = _lane_prefix_prods(1.0 - alpha, kb)
+                return alpha, excl * tc, tc * tot
+
+            def skip(tc):
+                z = jnp.zeros((px_count, kb), f32)
+                return z, z, tc
+
+            alpha, tk, tc2 = jax.lax.cond(can, compute, skip, t_carry)
             alpha_buf[:, sl] = alpha
-            t_buf[:, sl] = excl * t_carry
-            t_carry = t_carry * tot
-        tfinal = t_carry
+            t_buf[:, sl] = tk
+            return tc2
+
+        tfinal = jax.lax.fori_loop(0, nblocks, blk1,
+                                   jnp.ones((px_count, 1), f32))
 
         col = lambda i: cot_ref[0, local, i, :].reshape(px_count, 1)
         gr, gg, gb, ga, gd, g_t = (col(i) for i in range(6))
         g_t_tf = g_t * tfinal
 
-        # pass 2: reverse over blocks, accumulating into grad_ref
-        s_carry = jnp.zeros((px_count, 1), f32)
-        for b in range(nblocks - 1, -1, -1):
+        # pass 2: reverse over blocks, accumulating into grad_ref; blocks
+        # whose recomputed alpha is identically zero contribute nothing
+        def blk2(bi, s_carry):
+            b = nblocks - 1 - bi
             sl = pl.ds(b * kb, kb)
             alpha = alpha_buf[:, sl]
-            t_k = t_buf[:, sl]
-            w = alpha * t_k
-            row = lambda i: fields_ref[0, i, sl].reshape(1, kb)
-            dw = (gr * row(6) + gg * row(7) + gb * row(8) + gd * row(9) + ga)
-            dww = dw * w
-            suffix_incl, block_total = _lane_suffix_sums(dww, kb)
-            s_k = suffix_incl - dww + s_carry
-            dalpha = dw * t_k - (s_k + g_t_tf) / (1.0 - alpha)
+            can = jnp.max(alpha) > 0.0
 
-            _, (dx, dy, ca, cb_, cc, e, raw, live) = _block_alpha(
-                fields_ref, 0, sl, gx, gy, kb, alpha_min, alpha_max)
-            pass_th = jnp.where(jnp.logical_and(live, raw <= alpha_max),
-                                1.0, 0.0)
-            pass_th = jnp.where(_tile_hit(fields_ref, sl, kb, tx0, ty0, tile),
-                                pass_th, 0.0)
-            dop = dalpha * e * pass_th
-            dpow = dalpha * raw * pass_th
+            def compute(s):
+                t_k = t_buf[:, sl]
+                w = alpha * t_k
+                row = lambda i: fields_ref[0, i, sl].reshape(1, kb)
+                dw = (gr * row(6) + gg * row(7) + gb * row(8)
+                      + gd * row(9) + ga)
+                dww = dw * w
+                suffix_incl, block_total = _lane_suffix_sums(dww, kb)
+                s_k = suffix_incl - dww + s
+                dalpha = dw * t_k - (s_k + g_t_tf) / (1.0 - alpha)
 
-            red = lambda v: jnp.sum(v, axis=0)  # (kb,)
-            contrib = [
-                red(dpow * (-ca * dx - cb_ * dy)),
-                red(dpow * (-cc * dy - cb_ * dx)),
-                red(dpow * (-0.5 * dx * dx)),
-                red(dpow * (-dx * dy)),
-                red(dpow * (-0.5 * dy * dy)),
-                red(dop),
-                red(w * gr),
-                red(w * gg),
-                red(w * gb),
-                red(w * gd),
-            ]
-            for r, c in enumerate(contrib):
-                grad_ref[0, r, sl] = grad_ref[0, r, sl] + c
-            s_carry = s_carry + block_total
+                _, (dx, dy, ca, cb_, cc, e, raw, live) = _block_alpha(
+                    fields_ref, 0, sl, gx, gy, kb, alpha_min, alpha_max)
+                pass_th = jnp.where(jnp.logical_and(live, raw <= alpha_max),
+                                    1.0, 0.0)
+                pass_th = jnp.where(
+                    _tile_hit(fields_ref, sl, kb, tx0, ty0, tile),
+                    pass_th, 0.0)
+                dop = dalpha * e * pass_th
+                dpow = dalpha * raw * pass_th
+
+                red = lambda v: jnp.sum(v, axis=0)[None, :]  # (1, kb)
+                rows = jnp.concatenate([
+                    red(dpow * (-ca * dx - cb_ * dy)),
+                    red(dpow * (-cc * dy - cb_ * dx)),
+                    red(dpow * (-0.5 * dx * dx)),
+                    red(dpow * (-dx * dy)),
+                    red(dpow * (-0.5 * dy * dy)),
+                    red(dop),
+                    red(w * gr),
+                    red(w * gg),
+                    red(w * gb),
+                    red(w * gd),
+                ], axis=0)  # (10, kb)
+                return rows, s + block_total
+
+            def skip(s):
+                return jnp.zeros((10, kb), f32), s
+
+            rows, s2 = jax.lax.cond(can, compute, skip, s_carry)
+            grad_ref[0, 0:10, sl] = grad_ref[0, 0:10, sl] + rows
+            return s2
+
+        jax.lax.fori_loop(0, nblocks, blk2, jnp.zeros((px_count, 1), f32))
         return 0
 
     jax.lax.fori_loop(0, cs * cs, body, 0)
