@@ -209,6 +209,30 @@ def orbit_eval_cameras(
     return _camera_batch(c2w, fovy, height, width, timestamps, elev, azim, dist)
 
 
+def val_orbit_cameras(
+    n_views: int = 120,
+    elevation_deg: float = 15.0,
+    distance: float = 3.0,
+    fovy_deg: float = 40.0,
+    height: int = 512,
+    width: int = 512,
+    total_frame: int = 16,
+) -> Dict[str, np.ndarray]:
+    """Validation orbit VIDEO: azimuth sweeps 0→360° while the animation time
+    sweeps −1→1 in lockstep — one n_views-frame clip of the moving asset seen
+    from a rotating camera (uncond_hybrid.py:426-559 val dataset semantics;
+    timestamps cycle through the F animation frames as the camera orbits)."""
+    azim = np.linspace(0.0, 360.0, n_views, endpoint=False)
+    elev = np.full(n_views, elevation_deg)
+    dist = np.full(n_views, distance)
+    pos = camu.spherical_camera_position(elev, azim, dist)
+    c2w = camu.look_at_c2w(pos)
+    fovy = np.full(n_views, fovy_deg)
+    frame_idx = np.arange(n_views) % total_frame
+    timestamps = np.linspace(-1.0, 1.0, total_frame)[frame_idx]
+    return _camera_batch(c2w, fovy, height, width, timestamps, elev, azim, dist)
+
+
 def testset_grid_cameras(
     elevations_deg: Tuple[float, ...] = (0.0, 15.0, 30.0),
     azimuths_deg: Tuple[float, ...] = (0.0, 90.0, 180.0, 270.0),

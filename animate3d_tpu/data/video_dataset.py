@@ -59,11 +59,15 @@ def _read_video_frames(path: str, indices: np.ndarray, size: int) -> np.ndarray:
     from animate3d_tpu.data import native_loader
 
     frame_files = _frame_paths_for(path, indices)
+    tried_native_video = False
     if frame_files is not None:
         native = native_loader.decode_images(frame_files, size)
         if native is not None:
             return native
     elif os.path.isfile(path):
+        # any container format (.mp4/.mov/.webm/.avi/...) goes through the
+        # native libavformat demuxer first
+        tried_native_video = True
         native = native_loader.decode_video(path, indices, size)
         if native is not None:
             return native
@@ -71,14 +75,17 @@ def _read_video_frames(path: str, indices: np.ndarray, size: int) -> np.ndarray:
     import imageio.v3 as iio
     from PIL import Image
 
-    if path.endswith(".mp4"):
+    if tried_native_video:
+        # keyed on the native decode having been ATTEMPTED, not on a .mp4
+        # suffix — .mov/.webm etc. get the same explanatory error instead of
+        # an unrelated imageio plugin failure (ADVICE r2)
         try:
             frames = iio.imread(path, plugin="pyav")
-        except ImportError as e:
+        except Exception as e:
             raise RuntimeError(
                 f"cannot decode video {path!r}: the native libavcodec "
-                "decoder failed on it (corrupt/unsupported file?) and no "
-                "pyav fallback is installed") from e
+                "decoder failed on it (corrupt/unsupported file?) and the "
+                "pyav fallback is unavailable or also failed") from e
     else:
         frames = iio.imread(path)
     frames = np.asarray(frames)

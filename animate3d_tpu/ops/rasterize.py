@@ -285,108 +285,33 @@ def _coarse_select(proj: Projected, cfg: RasterConfig):
                                 c_y0.astype(jnp.float32))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _compact_rows(cand: jnp.ndarray, code: jnp.ndarray, kk: int) -> jnp.ndarray:
-    """Depth-ordered stream compaction of field rows by one-hot contraction.
-
-    cand (R, C, kc) candidate field rows; code (C, kc) f32 = output slot of
-    each kept candidate, −1 for dropped → (C, R, kk) compacted planes.
-
-    custom_vjp so the backward stores only ``code`` ((C, kc) — the autodiff
-    rule would save the (C, kc, kk) one-hot itself, 137 GB across the refine
-    step's chunk maps) and recovers d(cand) with a take_along_axis."""
-    onehot = ((code[:, :, None] == jnp.arange(kk, dtype=jnp.float32))
-              & (code[:, :, None] >= 0.0)).astype(jnp.float32)
-    return jnp.einsum("rtc,tck->trk", cand, onehot,
-                      precision=jax.lax.Precision.HIGHEST)
-
-
-def _compact_rows_fwd(cand, code, kk):
-    return _compact_rows(cand, code, kk), code
-
-
-def _compact_rows_bwd(kk, code, g):
-    # d(cand)[r, t, c] = g[t, r, code[t,c]] where kept, else 0
-    keep = code >= 0.0
-    idx = jnp.clip(code, 0.0, kk - 1).astype(jnp.int32)  # (C, kc)
-    r = g.shape[1]
-    idx3 = jnp.broadcast_to(idx[:, None, :], (idx.shape[0], r, idx.shape[1]))
-    gathered = jnp.take_along_axis(g, idx3, axis=2)  # (C, R, kc)
-    d_cand = jnp.where(keep[:, None, :], gathered, 0.0).transpose(1, 0, 2)
-    return d_cand, jnp.zeros_like(code)
-
-
-_compact_rows.defvjp(_compact_rows_fwd, _compact_rows_bwd)
-
-
-def _tile_select_hier(proj: Projected, cfg: RasterConfig, field_rows=None):
-    """Hierarchical tile binning: coarse depth-sorted candidate lists, then
-    per-fine-tile first-K compaction.
+def _tile_select_hier(proj: Projected, cfg: RasterConfig):
+    """Hierarchical tile binning: coarse depth-sorted candidate lists
+    (via ``_coarse_select``), then per-fine-tile first-K compaction.
 
     The flat version runs one masked ``top_k`` over all N per fine tile —
     the dominant binning cost. Here each coarse tile (``cfg.coarse``² fine
     tiles) runs ONE top_k over N keeping its ``coarse_k`` nearest gaussians
     (sorted front-to-back); each fine tile then selects the first
-    ``max_per_tile`` *hits* from its coarse list with a tiny top_k over
-    candidate positions (order already depth-sorted). ~coarse²× less top_k
-    work over N.
+    ``max_per_tile`` *hits* from its coarse list via sort-free one-hot
+    compaction (order already depth-sorted). ~coarse²× less top_k work over N.
 
     Returns (idx (T, K) int32, ok (T, K) bool, overflow () int32 — dropped
     gaussian·tile pairs from either the fine K cap or coarse_k truncation,
-    the accounting the CUDA rasterizer's unbounded lists never need,
-    fields (T, NFIELD, K) or None).
-
-    ``field_rows`` (NFIELD, N): when given, per-tile field planes are built
-    INSIDE the compaction — field values are gathered once per coarse tile
-    (small) and selected by the same stop-gradient one-hot contraction, so
-    neither the (T·K) forward gathers nor their scatter-add backward ever
-    appear (pack_fields replacement; row 10 must be ones — the contraction
-    turns it into the per-slot ok mask)."""
+    the accounting the CUDA rasterizer's unbounded lists never need)."""
     t = cfg.tile
     ty, tx = cfg.tiles_y, cfg.tiles_x
     cs = cfg.coarse
     cty = -(-ty // cs)
     ctx_ = -(-tx // cs)
-    n = proj.depth.shape[0]
-    big = jnp.float32(1e10)
-    depth = jnp.where(proj.valid, proj.depth, big)
 
     x, y = proj.mean2d[:, 0], proj.mean2d[:, 1]
     r = proj.radius
     gx0, gx1 = x - r, x + r
     gy0, gy1 = y - r, y + r
 
-    kc = min(cfg.coarse_k, n)
-
-    # --- coarse pass (chunked over coarse tiles) ---
-    c_ids = jnp.arange(cty * ctx_, dtype=jnp.int32)
-    c_x0 = (c_ids % ctx_) * (cs * t)
-    c_y0 = (c_ids // ctx_) * (cs * t)
-    ext = cs * t
-
-    def coarse_chunk(args):
-        cx0, cy0 = args  # (C,)
-        ov = (
-            (gx1[None, :] >= cx0[:, None])
-            & (gx0[None, :] < (cx0[:, None] + ext))
-            & (gy1[None, :] >= cy0[:, None])
-            & (gy0[None, :] < (cy0[:, None] + ext))
-            & proj.valid[None, :]
-        )
-        score = jnp.where(ov, depth[None, :], big)
-        neg, idx = _select_k(-score, kc, cfg)  # sorted front-to-back
-        return (idx.astype(jnp.int32), (-neg) < big,
-                jnp.sum(ov, axis=1).astype(jnp.int32))
-
-    cchunk = max(1, min(cfg.tile_chunk, cty * ctx_))
-    n_ct = cty * ctx_
-    padc = (-n_ct) % cchunk
-    cx0p = jnp.pad(c_x0, (0, padc)).reshape(-1, cchunk)
-    cy0p = jnp.pad(c_y0, (0, padc)).reshape(-1, cchunk)
-    cidx, cok, c_count = jax.lax.map(coarse_chunk, (cx0p, cy0p))
-    cidx = cidx.reshape(-1, kc)[:n_ct]
-    cok = cok.reshape(-1, kc)[:n_ct]
-    c_count = c_count.reshape(-1)[:n_ct]
+    cidx, cok, c_count, _ = _coarse_select(proj, cfg)
+    kc = cidx.shape[1]
 
     # --- fine pass: first-K hits from the (sorted) coarse candidates ---
     # candidate AABBs are gathered ONCE per coarse tile ((n_ct, kc) — small);
@@ -396,9 +321,6 @@ def _tile_select_hier(proj: Projected, cfg: RasterConfig, field_rows=None):
     c_x1g = gx1[cidx]
     c_y0g = gy0[cidx]
     c_y1g = gy1[cidx]
-    cand_fields = None
-    if field_rows is not None:
-        cand_fields = field_rows[:, cidx]  # (NFIELD, n_ct, kc)
 
     f_ids = jnp.arange(ty * tx, dtype=jnp.int32)
     f_x0 = ((f_ids % tx) * t).astype(jnp.float32)
@@ -431,12 +353,7 @@ def _tile_select_hier(proj: Projected, cfg: RasterConfig, field_rows=None):
                          ).astype(jnp.int32)
         count = jnp.sum(ov, axis=1).astype(jnp.int32)
         ok = jnp.arange(kk, dtype=jnp.int32)[None, :] < jnp.minimum(count, kk)[:, None]
-        if cand_fields is None:
-            return idx, ok, count
-        code = jnp.where(keep, gpos.astype(jnp.float32), -1.0)
-        ftile = _compact_rows(cand_fields[:, cf],
-                              jax.lax.stop_gradient(code), kk)
-        return idx, ok, count, ftile
+        return idx, ok, count
 
     # chunk so the (fchunk, kc, K) one-hot stays ≤ ~8M elements — at 1024²
     # (4096 tiles) an unbounded chunk under the renderer's view-vmap
@@ -446,29 +363,23 @@ def _tile_select_hier(proj: Projected, cfg: RasterConfig, field_rows=None):
                         (1 << 23) // max(kc * kk, 1)))
     n_t = ty * tx
     padf = (-n_t) % fchunk
-    out = jax.lax.map(
+    idx, ok, f_count = jax.lax.map(
         fine_chunk,
         (jnp.pad(c_of_f, (0, padf)).reshape(-1, fchunk),
          jnp.pad(f_x0, (0, padf)).reshape(-1, fchunk),
          jnp.pad(f_y0, (0, padf)).reshape(-1, fchunk)))
-    idx, ok, f_count = out[:3]
     idx = idx.reshape(-1, kk)[:n_t]
     ok = ok.reshape(-1, kk)[:n_t]
     f_count = f_count.reshape(-1)[:n_t]
-    fields = None
-    if field_rows is not None:
-        fields = out[3].reshape(-1, field_rows.shape[0], kk)[:n_t]
 
     if kk < cfg.max_per_tile:
         padk = cfg.max_per_tile - kk
         idx = jnp.pad(idx, ((0, 0), (0, padk)))
         ok = jnp.pad(ok, ((0, 0), (0, padk)))
-        if fields is not None:
-            fields = jnp.pad(fields, ((0, 0), (0, 0), (0, padk)))
 
     overflow = (jnp.sum(jnp.maximum(f_count - kk, 0))
                 + jnp.sum(jnp.maximum(c_count - kc, 0)))
-    return idx, ok, overflow, fields
+    return idx, ok, overflow
 
 
 def _tile_select(proj: Projected, cfg: RasterConfig) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -722,7 +633,7 @@ def rasterize(
         planes = p[: cfg.tiles_y, : cfg.tiles_x].reshape(-1, 8, px)
         overflow = jnp.sum(jnp.maximum(c_count - kc, 0))
     elif use_hier:
-        idx, ok, overflow, _ = _tile_select_hier(proj, cfg)
+        idx, ok, overflow = _tile_select_hier(proj, cfg)
     else:
         idx, ok, overflow = _tile_select(proj, cfg)
 

@@ -205,6 +205,39 @@ class AnimateMVGuidance:
                           (x / cfg.latent_scaling).reshape(bn * f, lh, lw, lc))
         return (imgs / 2 + 0.5).clip(0, 1).reshape(bn, f, *imgs.shape[1:])
 
+    @staticmethod
+    def camera16(c2w: jnp.ndarray, bn: int, n_frame: int) -> jnp.ndarray:
+        """(B·N·F, 4, 4) → (B·N, 16) frame-0 unit-sphere-normalized flattened
+        c2w conditioning (pipeline.py:178-190)."""
+        c2w_v = jnp.asarray(c2w).reshape(bn, n_frame, 4, 4)[:, 0]
+        t = c2w_v[:, :3, 3]
+        t = t / (jnp.linalg.norm(t, axis=1, keepdims=True) + 1e-8)
+        return c2w_v.at[:, :3, 3].set(t).reshape(bn, 16).astype(jnp.float32)
+
+    def preview_from_rgb(self, unet_params, vae_params, vae_decode, rgb,
+                         text_cond, text_uncond, c2w, image_embeds, t_start,
+                         key, ie_params=None, num_steps: int = 25):
+        """Guidance-eval from current renders: VAE-encode (deterministic
+        mean), then run the 25-step teacher preview (animatemv_guidance.py
+        :668-765 — the main visual debugging tool for SDS refinement).
+        rgb (B·N·F, H, W, 3) in [0,1]; returns (B·N, F, H', W', 3)."""
+        cfg = self.cfg
+        f = cfg.n_frame
+        bnf = rgb.shape[0]
+        bn = bnf // f
+        if self.image_encode is not None and ie_params is not None:
+            firsts = rgb.reshape(bn, f, *rgb.shape[1:])[:, 0]
+            image_embeds = self.image_encode(ie_params, firsts).astype(jnp.float32)
+        s = cfg.image_size
+        if rgb.shape[1] != s or rgb.shape[2] != s:
+            rgb = jax.image.resize(rgb, (bnf, s, s, 3), method="bilinear")
+        mean, _ = self.vae_encode(vae_params, rgb * 2.0 - 1.0)
+        latents = (mean * cfg.latent_scaling).reshape(bn, f, *mean.shape[1:])
+        cam16 = self.camera16(c2w, bn, f)
+        return self.preview(unet_params, vae_decode, vae_params, latents,
+                            text_cond, text_uncond, cam16, image_embeds,
+                            t_start, key, num_steps=num_steps)
+
     def __call__(self, unet_params, vae_params, rgb, text_cond, text_uncond,
                  c2w, image_embeds, key, global_step: int = 0, t_range=None,
                  ie_params=None):
@@ -215,15 +248,8 @@ class AnimateMVGuidance:
         annealed timestep bounds stay dynamic instead of baking into the
         trace (and retriggering compilation every step)."""
         cfg = self.cfg
-        bnf = rgb.shape[0]
-        bn = bnf // cfg.n_frame
-        c2w_v = jnp.asarray(c2w).reshape(bn, cfg.n_frame, 4, 4)[:, 0]
-        # unit-sphere camera normalization, traceable (pipeline.py:178-190)
-        t = c2w_v[:, :3, 3]
-        t = t / (jnp.linalg.norm(t, axis=1, keepdims=True) + 1e-8)
-        c2w_v = c2w_v.at[:, :3, 3].set(t)
-        cam16 = c2w_v.reshape(bn, 16).astype(jnp.float32)
-
+        bn = rgb.shape[0] // cfg.n_frame
+        cam16 = self.camera16(c2w, bn, cfg.n_frame)
         t_video, key = self._sample_t(key, bn, t_range, global_step)
         return self._loss(unet_params, vae_params, rgb, text_cond, text_uncond,
                           cam16, image_embeds, t_video, key, ie_params)
@@ -245,10 +271,7 @@ class AnimateMVGuidance:
         UNet and the rasterizer never share one XLA program."""
         cfg = self.cfg
         bn = rgb.shape[0] // cfg.n_frame
-        c2w_v = jnp.asarray(c2w).reshape(bn, cfg.n_frame, 4, 4)[:, 0]
-        t = c2w_v[:, :3, 3]
-        t = t / (jnp.linalg.norm(t, axis=1, keepdims=True) + 1e-8)
-        cam16 = c2w_v.at[:, :3, 3].set(t).reshape(bn, 16).astype(jnp.float32)
+        cam16 = self.camera16(c2w, bn, cfg.n_frame)
         t_video, key = self._sample_t(key, bn, t_range, 0)
         return self._pixel_grad(unet_params, vae_params, rgb, text_cond,
                                 text_uncond, cam16, image_embeds, t_video, key,
@@ -310,6 +333,9 @@ def build_guidance_from_config(sys_cfg, acfg):
 
     def vae_encode(p, x):
         return vae.apply(p, x, method=AutoencoderKL.encode)
+
+    def vae_decode(p, z):
+        return vae.apply(p, z, method=AutoencoderKL.decode)
 
     image_encode = None
     if vision_params is not None:
@@ -373,5 +399,8 @@ def build_guidance_from_config(sys_cfg, acfg):
         # static fallback embeds, used only when no image encoder is loaded
         "image_embeds": jnp.zeros((bn, ucfg.image_embed_dim)),
         "ie_params": vision_params,
+        # host-side callable for the guidance-eval preview sampler
+        # (never enters a jitted program as data)
+        "vae_decode": vae_decode,
     }
     return guidance, inputs

@@ -47,12 +47,15 @@ class Renderer4DConfig:
     # the tile binning (narrow trailing dims pad to the 128-lane width, so a
     # full 64-view vmap would allocate ~64× the logical bytes)
     view_chunk: int = 8
+    # False ⇒ exact top_k binning (no approx_max_k recall loss) — used for
+    # final --test renders so evaluation images are bit-faithful
+    approx_binning: bool = True
 
     def raster_config(self, sh_degree: int = 0) -> RasterConfig:
         return RasterConfig(
             height=self.height, width=self.width,
             max_per_tile=self.max_per_tile, tile_chunk=self.tile_chunk,
-            sh_degree=sh_degree,
+            sh_degree=sh_degree, approx_binning=self.approx_binning,
         )
 
 
@@ -64,6 +67,9 @@ class Render4DOutput(NamedTuple):
     means3d: jnp.ndarray  # (B, N, 3) deformed positions (trajectory export)
     rotations: jnp.ndarray  # (B, N, 4)
     scales: jnp.ndarray  # (B, N, 3)
+    overflow: jnp.ndarray = jnp.zeros((), jnp.int32)  # total dropped
+    # gaussian·tile pairs across the batch (binning K-cap truncation);
+    # 0 ⇒ the fixed-capacity render was exact for every view
 
 
 def render_batch(
@@ -127,7 +133,7 @@ def render_batch(
             shs=shs, bg=bg_color, active_sh_degree=state.active_sh_degree,
         )
         return (jnp.clip(out.rgb, 0.0, 1.0), out.depth, out.alpha, out.radii,
-                xyz, rot, scales)
+                xyz, rot, scales, out.overflow)
 
     # shrink the per-chunk view count as tile count grows so the per-view
     # channel planes (tiles · 8 · px) stay modest under the vmap; the
@@ -146,7 +152,8 @@ def render_batch(
 
     chunked = jax.tree_util.tree_map(pad_chunk, (cameras, timestamps, keys))
     outs = jax.lax.map(lambda args: jax.vmap(render_one)(*args), chunked)
-    rgb, depth, alpha, radii, means, rots, scales = jax.tree_util.tree_map(
+    rgb, depth, alpha, radii, means, rots, scales, ovf = jax.tree_util.tree_map(
         lambda x: x.reshape((-1,) + x.shape[2:])[:b], outs)
     return Render4DOutput(rgb=rgb, depth=depth, alpha=alpha, radii=radii,
-                          means3d=means, rotations=rots, scales=scales)
+                          means3d=means, rotations=rots, scales=scales,
+                          overflow=jnp.sum(ovf))

@@ -338,7 +338,16 @@ class Animate3DSystem:
             loss_mask = jnp.sum(per_item_mask * item_w) / wsum
 
             loss = lambdas["lambda_rgb"] * loss_rgb + lambdas["lambda_mask"] * loss_mask
-            metrics = {"loss_rgb": loss_rgb, "loss_mask": loss_mask}
+            # PSNR of the masked-composited render vs GT (active frames only)
+            # — the quality anchor every perf change is judged against
+            # (uncond_hybrid.py testset metrics surface)
+            psnr = -10.0 * jnp.log10(jnp.maximum(
+                jnp.sum(per_item_rgb * item_w) / wsum, 1e-10))
+            metrics = {"loss_rgb": loss_rgb, "loss_mask": loss_mask,
+                       "psnr": psnr,
+                       # dropped gaussian·tile pairs this step: >0 means the
+                       # fixed-K binning truncated a dense view (ADVICE r2)
+                       "raster_overflow": out.overflow.astype(jnp.float32)}
 
             # ARAP over the first view's trajectory (animate3d.py:216-244)
             if "lambda_arap" in self.active_terms:
@@ -432,6 +441,23 @@ class Animate3DSystem:
         grads = self._g_render_vjp(params, g, rgb_grad)
         return loss_sds, grads
 
+    def guidance_preview(self, guidance_batch, key, num_steps: int = 25):
+        """Guidance-eval: render the SDS batch and run the frozen teacher's
+        25-step preview sampler from the current max annealed timestep
+        (animatemv_guidance.py:668-765) — the visual debugging surface for
+        stage-2 refinement. Returns (B·N, F, H, W, 3) in [0, 1]."""
+        assert self.guidance is not None, "guidance_preview needs load_guidance"
+        g = guidance_batch
+        rgb = self._g_render_fwd(self.params, g)
+        _, mx = self.guidance.min_max_step(self.global_step)
+        return self.guidance.preview_from_rgb(
+            self.guidance_inputs["unet_params"],
+            self.guidance_inputs["vae_params"],
+            self.guidance_inputs["vae_decode"], rgb,
+            g["text_cond"], g["text_uncond"], g["c2w"], g["image_embeds"],
+            int(mx), key, ie_params=self.guidance_inputs.get("ie_params"),
+            num_steps=num_steps)
+
     # -- public ---------------------------------------------------------------
 
     def step(self, batch: Dict[str, Any], key: jax.Array,
@@ -486,11 +512,13 @@ class Animate3DSystem:
         # float() fetch previously cost a ~0.25 s tunnel round-trip)
         return metrics
 
-    def render(self, cameras, timestamps, key=None, do_guidance=False):
+    def render(self, cameras, timestamps, key=None, do_guidance=False,
+               renderer_cfg: Optional[Renderer4DConfig] = None):
         def deform_fn(state, t, deform_scales):
             return self.field.apply(self.params, state, t, deform_scales,
                                     method=DeformationField.deform)
 
         return render_batch(self.state, deform_fn, cameras,
-                            jnp.asarray(timestamps), self.cfg.renderer, key=key,
+                            jnp.asarray(timestamps),
+                            renderer_cfg or self.cfg.renderer, key=key,
                             do_reconstruction=False, do_guidance=do_guidance)

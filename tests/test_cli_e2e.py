@@ -58,6 +58,9 @@ data:
   width: {RES}
   n_view: {N_VIEW}
   total_frame: {N_FRAME}
+  n_val_views: 6
+  eval_height: {RES}
+  eval_width: {RES}
 system:
   load_guidance: false
   n_view: {N_VIEW}
@@ -120,6 +123,24 @@ def test_launch_test_restores_checkpoint(workspace):
     main(["--config", str(cfg_path), "--test"])
     trial = root / "outputs" / "e2e" / "t"
     assert (trial / "save" / "videos").exists()
+    # quality report vs the GT frames (four_view mode with image_root)
+    report = json.load(open(trial / "save" / "metrics_test.json"))
+    assert np.isfinite(report["psnr"]) and len(report["per_view"]) == N_VIEW
+    assert -1.0 <= report["ssim"] <= 1.0
+
+
+def test_launch_validate_orbit(workspace):
+    """--validate renders the deterministic val orbit (distinct from --test;
+    reference uncond_hybrid.py:426-559)."""
+    root, cfg_path = workspace
+    from animate3d_tpu.cli.launch import main
+
+    main(["--config", str(cfg_path), "--validate"])
+    trial = root / "outputs" / "e2e" / "t"
+    # save_video_mp4 falls back to .gif without an ffmpeg-capable writer
+    vids = os.listdir(trial / "save" / "videos")
+    assert any(v.startswith("val_orbit") for v in vids), vids
+    assert (trial / "save" / "val" / "orbit.gif").exists()
 
 
 def test_refine_stage_chaining_and_guidance(workspace, tmp_path):
@@ -170,6 +191,8 @@ def test_refine_stage_chaining_and_guidance(workspace, tmp_path):
         "width": 16, "height": 16,
     }
     cfg["trainer"]["max_steps"] = 1
+    cfg["trainer"]["guidance_eval_interval"] = 1
+    cfg["trainer"]["guidance_eval_steps"] = 2
     cfg["checkpoint"]["every_n_train_steps"] = 1
     refine_cfg = tmp_path / "refine.yaml"
     refine_cfg.write_text(yaml.safe_dump(cfg))
@@ -181,6 +204,8 @@ def test_refine_stage_chaining_and_guidance(workspace, tmp_path):
     refine_trial = root / "outputs" / "e2e_refine" / "t"
     metrics = [json.loads(l) for l in open(refine_trial / "metrics.jsonl")]
     assert "loss_sds" in metrics[0] and np.isfinite(metrics[0]["loss_sds"])
+    # guidance-eval teacher preview artifact (animatemv_guidance.py:668-765)
+    assert (refine_trial / "save" / "guidance_eval" / "it1.gif").exists()
 
     # refine params started from the recon checkpoint, not zero-init:
     recon = restore_checkpoint_raw(
