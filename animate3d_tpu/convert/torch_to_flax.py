@@ -137,6 +137,10 @@ def convert_leaf(path: List[str], leaf: str, value: np.ndarray
                 return path + ["embedding"], value
             if module in ("position_embedding",):  # raw param table
                 return path, value
+            if module in ("row_embed", "col_embed"):
+                # LearnedPositionalEncoding2D tables (embeddings.py:119-125)
+                # are raw (num_embed, num_feats) params in the flax module
+                return path, value
             return path + ["kernel"], value.T  # linear
         if value.ndim == 1:  # norm scale
             return path + ["scale"], value

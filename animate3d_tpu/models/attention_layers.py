@@ -283,5 +283,8 @@ class FeedForwardGEGLU(nn.Module):
         inner = self.channels * self.mult
         proj = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
         hidden, gate = jnp.split(proj, 2, axis=-1)
-        x = hidden * nn.gelu(gate)
+        # exact (erf) GELU — torch F.gelu default used by diffusers GEGLU;
+        # flax's tanh approximation drifts ~1e-3 relative (caught by the
+        # reference-derived goldens, tests/test_golden_ref.py)
+        x = hidden * nn.gelu(gate, approximate=False)
         return nn.Dense(self.channels, dtype=self.dtype, name="net_2")(x)

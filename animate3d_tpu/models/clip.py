@@ -66,7 +66,9 @@ class CLIPVisionConfig:
 def _act(name: str):
     if name == "quick_gelu":
         return lambda x: x * jax.nn.sigmoid(1.702 * x)
-    return nn.gelu
+    # transformers "gelu" = exact erf GELU (flax defaults to the tanh
+    # approximation, which drifts ~1e-3 relative)
+    return lambda x: nn.gelu(x, approximate=False)
 
 
 class CLIPAttention(nn.Module):

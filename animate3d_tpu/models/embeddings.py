@@ -51,6 +51,21 @@ class TimestepEmbedding(nn.Module):
         return x
 
 
+def compose_frame_time_embeddings(emb: jnp.ndarray,
+                                  cond_emb,
+                                  num_frames: int) -> jnp.ndarray:
+    """Per-frame embedding layout (unet_motion_mv_model.py:747-752):
+    repeat_interleave over frames (frame-minor); with ``cond_emb`` (the t=0
+    i2v_cond_time_zero embedding) frame-0 rows are substituted."""
+    bn = emb.shape[0]
+    out = jnp.repeat(emb, num_frames, axis=0)
+    if cond_emb is not None:
+        out = out.reshape(bn, num_frames, -1)
+        out = jnp.concatenate([cond_emb[:, None], out[:, 1:]], axis=1)
+        out = out.reshape(bn * num_frames, -1)
+    return out
+
+
 def sinusoidal_positions(num_positions: int, dim: int) -> jnp.ndarray:
     """(num_positions, dim) classic transformer PE table
     (diffusers SinusoidalPositionalEmbedding: sin on even, cos on odd)."""
