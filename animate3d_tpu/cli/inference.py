@@ -39,6 +39,9 @@ from animate3d_tpu.models.factory import (  # noqa: F401 (re-exported API)
 
 
 def main(argv=None) -> None:
+    from animate3d_tpu.core.runtime import honor_jax_platforms_env
+    honor_jax_platforms_env()  # $JAX_PLATFORMS wins over plugin backends
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default=None, help="inference yaml")
     parser.add_argument("--prompt", default="")

@@ -15,6 +15,9 @@ import numpy as np
 
 
 def main(argv=None) -> None:
+    from animate3d_tpu.core.runtime import honor_jax_platforms_env
+    honor_jax_platforms_env()  # $JAX_PLATFORMS wins over plugin backends
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", required=True)
     parser.add_argument("extras", nargs="*", help="dotted overrides")
@@ -58,6 +61,18 @@ def main(argv=None) -> None:
     model_size = cfg.get("model_size", "full")
     unet, vae, text_model, vision_model = build_models(
         model_size, n_views, dtype=jnp.bfloat16)
+    if cfg.get("gradient_checkpointing", False):
+        # reference train.py:380-382 enable_gradient_checkpointing: remat
+        # every UNet block so activation memory stops bounding the per-chip
+        # batch at 4 views × 16 frames @256²
+        import dataclasses
+
+        from animate3d_tpu.models.unet_mv import MVMotionUNet
+
+        unet = MVMotionUNet(
+            dataclasses.replace(unet.config, gradient_checkpointing=True),
+            dtype=jnp.bfloat16)
+        print("[train] gradient checkpointing (block remat) enabled")
     ucfg = unet.config
     vae_cfg = vae.config
     lat = sample_size // (2 ** (len(vae_cfg.block_out_channels) - 1))

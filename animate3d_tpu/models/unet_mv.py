@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from animate3d_tpu.models.embeddings import (
     ImageProjection,
     TimestepEmbedding,
+    compose_frame_time_embeddings,
     get_timestep_embedding,
 )
 from animate3d_tpu.models.unet_blocks import (
@@ -64,6 +65,10 @@ class MVUNetConfig:
     mv_image_attn: bool = True
     # motion-module attention behavior
     motion_attn: MotionAttnConfig = field(default_factory=MotionAttnConfig)
+    # rematerialize every block in the backward pass (the reference's
+    # unet.enable_gradient_checkpointing(), train.py:380-382) — trades ~30%
+    # recompute FLOPs for activation memory at training time
+    gradient_checkpointing: bool = False
 
     @staticmethod
     def tiny(**kw) -> "MVUNetConfig":
@@ -115,11 +120,8 @@ class MVMotionUNet(nn.Module):
             emb = emb + camera_emb
             if i2v_cond_time_zero:
                 cond_emb = cond_emb + camera_emb
-        emb = jnp.repeat(emb, f, axis=0)  # (bn·f, D) frame-minor
-        if i2v_cond_time_zero:
-            emb = emb.reshape(bn, f, -1)
-            emb = jnp.concatenate([cond_emb[:, None], emb[:, 1:]], axis=1)
-            emb = emb.reshape(bn * f, -1)
+        emb = compose_frame_time_embeddings(
+            emb, cond_emb if i2v_cond_time_zero else None, f)
 
         # 2. conditioning tokens, per frame
         context = jnp.repeat(encoder_hidden_states.astype(self.dtype), f, axis=0)
@@ -131,8 +133,20 @@ class MVMotionUNet(nn.Module):
             )(image_embeds.astype(self.dtype))
             ip_context = jnp.repeat(ip_tokens, f, axis=0)
 
+        # gradient checkpointing: remat each block class so the backward
+        # recomputes block activations instead of storing them (num_frames /
+        # static ints are marked static; self is argnum 0)
+        if cfg.gradient_checkpointing:
+            ResnetCls = nn.remat(ResnetBlock2D)
+            SpatialCls = nn.remat(SpatialTransformer, static_argnums=(4,))
+            MotionCls = nn.remat(MotionModule, static_argnums=(2,))
+        else:
+            ResnetCls, SpatialCls, MotionCls = (ResnetBlock2D,
+                                                SpatialTransformer,
+                                                MotionModule)
+
         def spatial_transformer(channels, name):
-            return SpatialTransformer(
+            return SpatialCls(
                 channels, cfg.num_heads, cfg.num_views, cfg.cross_attention_dim,
                 mv_image_attn=cfg.mv_image_attn,
                 ip_enabled=cfg.ip_enabled and ip_context is not None,
@@ -140,7 +154,7 @@ class MVMotionUNet(nn.Module):
             )
 
         def motion_module(channels, name):
-            return MotionModule(
+            return MotionCls(
                 channels, cfg.motion_num_heads, cfg.num_views, cfg.motion_attn,
                 cfg.motion_max_seq_length, dtype=self.dtype, name=name,
             )
@@ -155,7 +169,7 @@ class MVMotionUNet(nn.Module):
         for i in range(n_blocks):
             has_cross = i < n_blocks - 1  # last block is DownBlockMotion
             for j in range(cfg.layers_per_block):
-                x = ResnetBlock2D(boc[i], dtype=self.dtype,
+                x = ResnetCls(boc[i], dtype=self.dtype,
                                   name=f"down_blocks_{i}_resnets_{j}")(x, emb)
                 if has_cross:
                     x = spatial_transformer(
@@ -169,10 +183,10 @@ class MVMotionUNet(nn.Module):
                 skips.append(x)
 
         # mid
-        x = ResnetBlock2D(boc[-1], dtype=self.dtype, name="mid_block_resnets_0")(x, emb)
+        x = ResnetCls(boc[-1], dtype=self.dtype, name="mid_block_resnets_0")(x, emb)
         x = spatial_transformer(boc[-1], "mid_block_attentions_0")(x, context, ip_context, f)
         x = motion_module(boc[-1], "mid_block_motion_modules_0")(x, f)
-        x = ResnetBlock2D(boc[-1], dtype=self.dtype, name="mid_block_resnets_1")(x, emb)
+        x = ResnetCls(boc[-1], dtype=self.dtype, name="mid_block_resnets_1")(x, emb)
 
         # up
         rev = list(reversed(boc))
@@ -181,7 +195,7 @@ class MVMotionUNet(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 x = jnp.concatenate([x, skip], axis=-1)
-                x = ResnetBlock2D(rev[i], dtype=self.dtype,
+                x = ResnetCls(rev[i], dtype=self.dtype,
                                   name=f"up_blocks_{i}_resnets_{j}")(x, emb)
                 if has_cross:
                     x = spatial_transformer(

@@ -383,6 +383,13 @@ import threading
 
 _backend_override = threading.local()
 
+# minimum sequence length for the sp ring (see multi_head_attention): chosen
+# so only the spatial/cross-view sequences (≥1024 tokens at 128²+ latents)
+# shard; per-hop the ring moves Sk/n_sp · C keys+values over ICI while each
+# chip computes a (Sq/n_sp, Sk/n_sp) block — compute/comm stays ≥ D/2 flops
+# per byte only when the local block is MXU-sized
+SP_MIN_SEQ = 512
+
 
 @contextlib.contextmanager
 def attention_backend(name: str):
@@ -400,16 +407,21 @@ def attention_backend(name: str):
 
 
 @contextlib.contextmanager
-def sp_ring(mesh, axis_name: str = "sp"):
+def sp_ring(mesh, axis_name: str = "sp", min_seq: Optional[int] = None):
     """Route self-attention traced in this scope through sequence-parallel
     ring attention over ``mesh``'s ``axis_name`` (parallel/sp_attention.py):
     the token axis is sharded across chips and K/V rotate over the ICI ring.
 
     The >reference-scale path (more views / frames / resolution than fits one
     chip); sequences not divisible by the axis size fall back to the local
-    backends transparently (e.g. the 77-token text cross-attention)."""
+    backends transparently (e.g. the 77-token text cross-attention), as do
+    sequences shorter than ``min_seq`` (default SP_MIN_SEQ) where the ring's
+    ppermute hops would dominate — e.g. the 16-token temporal attention.
+    Tests/dryruns pass a small ``min_seq`` so tiny shapes still exercise the
+    collective path."""
     prev = getattr(_backend_override, "sp", None)
-    _backend_override.sp = (mesh, axis_name)
+    _backend_override.sp = (mesh, axis_name,
+                            SP_MIN_SEQ if min_seq is None else min_seq)
     try:
         yield
     finally:
@@ -433,14 +445,18 @@ def multi_head_attention(
         scale = d ** -0.5
     sp = getattr(_backend_override, "sp", None)
     if sp is not None:
-        mesh, axis_name = sp
+        mesh, axis_name, min_seq = sp
         n_sp = mesh.shape[axis_name]
+        # ring only sequences long enough that sharding wins: below min_seq
+        # tokens the n_sp ppermute hops per layer cost more than the whole
+        # local attention (e.g. the 16-token temporal attention at sp=8
+        # would run 2 tokens/chip with 8 ICI hops) — those stay local
         if (q.shape == k.shape and q.shape[1] % n_sp == 0
-                and q.shape[1] >= 2 * n_sp):
-            from animate3d_tpu.parallel.sp_attention import ring_attention_sharded
+                and q.shape[1] >= max(2 * n_sp, min_seq)):
+            from animate3d_tpu.parallel import sp_attention as _spa
 
-            return ring_attention_sharded(mesh, q, k, v, num_heads, scale,
-                                          axis_name)
+            return _spa.ring_attention_sharded(mesh, q, k, v, num_heads,
+                                               scale, axis_name)
     qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
     use_flash = False
     if backend == "flash":

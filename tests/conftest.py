@@ -9,6 +9,15 @@ Sharding tests then exercise real collectives without TPU hardware
 
 import os
 
+# raise XLA:CPU's 40 s collective-rendezvous abort: the 8 virtual devices
+# share one physical core, so sharded steps with minutes of per-shard compute
+# (the refine-scale dryrun shapes) would be killed mid-collective otherwise
+_flags = ("--xla_cpu_collective_call_terminate_timeout_seconds=3600 "
+          "--xla_cpu_collective_call_warn_stuck_timeout_seconds=600")
+if "xla_cpu_collective_call_terminate" not in os.environ.get("XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                               + " " + _flags).strip()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

@@ -55,6 +55,32 @@ def test_unet_i2v_cond_time_zero_changes_frame0_path(tiny_unet):
     assert np.abs(np.asarray(out1) - np.asarray(out2)).max() > 1e-5
 
 
+def test_gradient_checkpointing_matches(tiny_unet):
+    """remat'd UNet (gradient_checkpointing=True) must produce identical
+    outputs AND gradients — remat changes memory, not math (reference
+    train.py:380-382 enable_gradient_checkpointing parity)."""
+    import dataclasses
+
+    model, params, apply, (latents, t, text, camera, image_embeds) = tiny_unet
+    model_gc = MVMotionUNet(dataclasses.replace(
+        model.config, gradient_checkpointing=True))
+
+    def loss(m, p):
+        return jnp.sum(m.apply(p, latents, t, text, camera, image_embeds) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(model, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(model_gc, p))(params)
+    assert float(l0) == pytest.approx(float(l1), rel=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    # tolerances allow fp32 recompute-order noise (remat re-evaluates the
+    # forward inside the backward, changing summation order) while still
+    # catching any structural divergence
+    for a, b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=2e-3)
+
+
 def test_param_count_sd15_scale():
     # full-size config builds and has SD1.5-scale parameter count (~1.3B total
     # incl. motion modules & adapters; base SD1.5 UNet alone is 860M)
