@@ -170,6 +170,27 @@ def _propagation_backend(frames: np.ndarray, template_mask: np.ndarray,
     return np.stack(masks)
 
 
+@register_backend("xmem")
+def _xmem_backend(frames: np.ndarray, template_mask: np.ndarray,
+                  weights: Optional[str] = None, **kw) -> np.ndarray:
+    """Learned XMem tracker (architecture-complete torch reimplementation,
+    tools/xmem_arch.py — state-dict compatible with the released
+    XMem-s012.pth the reference downloads, custom_inference.py:62-83).
+    Weights come from ``weights=`` or $XMEM_WEIGHTS; without a checkpoint
+    this backend refuses rather than running random-init garbage."""
+    from animate3d_tpu.tools.xmem_arch import load_xmem, xmem_segment_video
+
+    path = weights or os.environ.get("XMEM_WEIGHTS", "")
+    if not path or not os.path.exists(path):
+        raise FileNotFoundError(
+            "xmem backend needs a checkpoint: pass weights= or set "
+            "$XMEM_WEIGHTS to XMem-s012.pth (zero-egress environments can "
+            "use backend='propagation' instead)")
+    net = load_xmem(path)
+    return xmem_segment_video(frames, (template_mask > 0.5).astype(np.float32),
+                              net, **kw)
+
+
 def segment_video(frames: np.ndarray, template_mask: np.ndarray,
                   backend: str = "propagation", **kw) -> np.ndarray:
     if backend not in _BACKENDS:

@@ -138,3 +138,82 @@ class TestPropagationTracker:
         chroma = segment_video(frames, gts[0], backend="chroma")
         iou_last = self._iou(chroma[-1], gts[-1])
         assert iou_last < 0.5, iou_last
+
+
+class TestXMemArch:
+    """Architecture-complete XMem reimplementation (tools/xmem_arch.py):
+    state-dict layout matches the released XMem-s012.pth (the keys XMem's own
+    loader introspects), synthetic weights round-trip through the backend's
+    loading path, and the inference loop produces sane masks."""
+
+    def _save_synthetic(self, tmp_path):
+        import torch
+
+        from animate3d_tpu.tools.xmem_arch import XMemNet
+
+        torch.manual_seed(0)
+        net = XMemNet()
+        path = tmp_path / "xmem_synth.pth"
+        torch.save(net.state_dict(), path)
+        return net, str(path)
+
+    def test_state_dict_layout_matches_release(self, tmp_path):
+        torch = pytest.importorskip("torch")  # noqa: F841
+        net, _ = self._save_synthetic(tmp_path)
+        sd = net.state_dict()
+        # the exact keys XMem's loader reads dims from (network.py:142-152)
+        assert sd["key_proj.key_proj.weight"].shape[0] == 64
+        assert sd["value_encoder.fuser.block2.conv2.weight"].shape[0] == 512
+        assert sd["decoder.hidden_update.transform.weight"].shape[0] == 3 * 64
+        # multi-object value encoder: image + mask + others = 5 channels
+        assert sd["value_encoder.conv1.weight"].shape[1] == 5
+        # spot checks across every submodule family
+        for k in (
+            "key_encoder.conv1.weight", "key_encoder.res2.0.conv3.weight",
+            "key_encoder.layer3.5.bn3.running_mean",
+            "value_encoder.layer3.1.conv2.weight",
+            "value_encoder.fuser.attention.ChannelGate.mlp.1.weight",
+            "value_encoder.fuser.attention.SpatialGate.spatial.conv.weight",
+            "value_encoder.hidden_reinforce.transform.weight",
+            "decoder.fuser.block1.downsample.weight",
+            "decoder.up_16_8.skip_conv.weight",
+            "decoder.up_8_4.out_conv.conv2.weight",
+            "decoder.pred.weight",
+        ):
+            assert k in sd, k
+
+    def test_synthetic_weights_load_and_track(self, tmp_path):
+        torch = pytest.importorskip("torch")  # noqa: F841
+        from animate3d_tpu.tools.xmem_arch import load_xmem, xmem_segment_video
+
+        _, path = self._save_synthetic(tmp_path)
+        net = load_xmem(path)  # strict load; dims read from the weights
+        rng = np.random.default_rng(0)
+        frames = rng.uniform(size=(3, 48, 48, 3)).astype(np.float32)
+        tmpl = np.zeros((48, 48), np.float32)
+        tmpl[10:30, 10:30] = 1.0
+        masks = xmem_segment_video(frames, tmpl, net, mem_every=1)
+        assert masks.shape == (3, 48, 48)
+        assert np.isfinite(masks).all()
+        np.testing.assert_array_equal(masks[0], tmpl)  # frame 0 = template
+
+    def test_backend_refuses_without_weights(self, monkeypatch):
+        from animate3d_tpu.tools.tracking import segment_video
+
+        monkeypatch.delenv("XMEM_WEIGHTS", raising=False)
+        frames = np.zeros((2, 32, 32, 3), np.float32)
+        with pytest.raises(FileNotFoundError):
+            segment_video(frames, np.zeros((32, 32)), backend="xmem")
+
+    def test_backend_dispatches_with_weights(self, tmp_path, monkeypatch):
+        torch = pytest.importorskip("torch")  # noqa: F841
+        from animate3d_tpu.tools.tracking import segment_video
+
+        _, path = self._save_synthetic(tmp_path)
+        monkeypatch.setenv("XMEM_WEIGHTS", path)
+        rng = np.random.default_rng(1)
+        frames = rng.uniform(size=(2, 32, 32, 3)).astype(np.float32)
+        tmpl = np.zeros((32, 32), np.float32)
+        tmpl[8:24, 8:24] = 1.0
+        masks = segment_video(frames, tmpl, backend="xmem", mem_every=1)
+        assert masks.shape == (2, 32, 32)
