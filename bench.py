@@ -1,16 +1,19 @@
-"""Benchmark: full-pipeline wall-clock estimate on the current device.
+"""Benchmark: full-pipeline wall-clock estimate + quality anchors.
 
 Headline metric (BASELINE.md north stars): estimated end-to-end wall-clock
-for the GS pipeline's hot loops at reference budgets —
+for the TWO-STAGE GS pipeline's hot loops at reference budgets —
 
-    75 denoise steps (25 DDIM × 3 FreeInit, CFG pair)   × sec/denoise-step
-  + 800 stage-1 reconstruction steps ('normal' strategy) × sec/recon-step
+    75 denoise steps (25 DDIM × 3 FreeInit, CFG pair)    × sec/denoise-step
+  + 800 stage-1 reconstruction steps ('normal' strategy)  × sec/recon-step
+  + 200 stage-2 refine steps (1024² recon + 64@256² SDS)  × sec/refine-step
   + fixed ~30 s for VAE decode + IO glue (measured round 1)
 
 ``vs_baseline`` compares against the reference's "only 15 minutes in total"
-on a ≥24 GB GPU (README.md:28 — the only number it publishes). The JSON line
-also carries the raw component metrics the round-1 verdict asked for:
-sec/denoise-step, recon sec/step, and rasterizer FPS @512².
+on a ≥24 GB GPU (README.md:28 — the only number it publishes).  Extras carry
+the per-component numbers plus the quality anchors the round-2 verdict
+required: achieved TFLOP/s + MFU for the MV-VDM denoise step, the final
+PSNR of a synthetic-GT reconstruction, and the approx-vs-exact binning
+PSNR delta at production scale.
 """
 
 import json
@@ -20,6 +23,8 @@ import numpy as np
 
 BASELINE_MINUTES = 15.0
 FIXED_OVERHEAD_SEC = 30.0
+# v5e peak: 197 TFLOP/s bf16 / 394 int8 (public TPU v5e specs)
+PEAK_TFLOPS = {"tpu v5 lite": 197.0, "tpu v5e": 197.0}
 
 
 def chain_bench(step_fn, x0, iters: int, consts=None):
@@ -66,7 +71,34 @@ def chain_bench(step_fn, x0, iters: int, consts=None):
     return max(t2 - t1, 1e-9) / (n2 - n1)
 
 
-def bench_denoise_step() -> float:
+def program_tflops(fn, *args) -> float:
+    """Total TFLOPs of one execution of ``fn(*args)`` from XLA's compiled
+    cost analysis (0.0 when the backend doesn't expose it)."""
+    import jax
+
+    try:
+        compiled = jax.jit(fn).lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca.get("flops", 0.0)) / 1e12
+    except Exception as e:  # tunnel backends may not expose cost analysis
+        print(f"[bench] cost_analysis unavailable: {e}")
+        return 0.0
+
+
+def device_peak_tflops() -> float:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for k, v in PEAK_TFLOPS.items():
+        if k in kind:
+            return v
+    return 197.0
+
+
+def bench_denoise_step():
+    """(sec/step, achieved TFLOP/s, MFU) for one CFG-pair MV-VDM forward."""
     import jax
     import jax.numpy as jnp
     from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
@@ -84,9 +116,11 @@ def bench_denoise_step() -> float:
 
     params = jax.jit(model.init)(jax.random.PRNGKey(0), latents[:4, :2], t,
                                  text[:4], camera[:4], image_embeds[:4])
-    return chain_bench(
-        lambda p, x: model.apply(p, x, t, text, camera, image_embeds),
-        latents, iters=5, consts=params)
+    step = lambda p, x: model.apply(p, x, t, text, camera, image_embeds)
+    sec = chain_bench(step, latents, iters=5, consts=params)
+    tflops = program_tflops(step, params, latents)
+    achieved = tflops / sec if tflops else 0.0
+    return sec, achieved, achieved / device_peak_tflops()
 
 
 def bench_raster_fps(n: int = 20000, res: int = 512) -> float:
@@ -119,8 +153,42 @@ def bench_raster_fps(n: int = 20000, res: int = 512) -> float:
     return 1.0 / sec
 
 
-def bench_recon_step(n: int = 20000, res: int = 256, n_view: int = 4,
-                     n_frame: int = 16) -> float:
+def bench_binning_quality(n: int = 20000, resolutions=(256, 1024)) -> dict:
+    """PSNR of approx_max_k binning renders vs exact top_k binning at
+    production scale (VERDICT r2: quantify the ~1% recall loss)."""
+    import math
+
+    import jax.numpy as jnp
+    from animate3d_tpu.ops.rasterize import RasterConfig, camera_arrays, rasterize
+    from animate3d_tpu.utils import camera as camu
+    from animate3d_tpu.utils.metrics import psnr
+
+    rng = np.random.default_rng(1)
+    means = jnp.asarray(rng.normal(size=(n, 3)) * 0.3, jnp.float32)
+    scales = jnp.asarray(np.exp(rng.normal(size=(n, 3)) * 0.3 - 4.5), jnp.float32)
+    quats = rng.normal(size=(n, 4))
+    quats /= np.linalg.norm(quats, axis=1, keepdims=True)
+    quats = jnp.asarray(quats, jnp.float32)
+    opacity = jnp.asarray(rng.uniform(0.3, 0.9, size=(n,)), jnp.float32)
+    colors = jnp.asarray(rng.uniform(size=(n, 3)), jnp.float32)
+    c2w = camu.generate_c2w(15.0, 30.0, distance=3.0)[0]
+    fov = math.radians(40.0)
+
+    out = {}
+    for res in resolutions:
+        cam = camera_arrays(camu.gs_camera(c2w, fov, fov, res, res))
+        imgs = {}
+        for approx in (True, False):
+            cfg = RasterConfig(height=res, width=res, approx_binning=approx)
+            imgs[approx] = np.asarray(rasterize(
+                means, scales, quats, opacity, cam, cfg,
+                colors_precomp=colors).rgb)
+        p = float(psnr(jnp.asarray(imgs[True]), jnp.asarray(imgs[False])))
+        out[f"approx_binning_psnr_{res}"] = round(min(p, 99.0), 2)
+    return out
+
+
+def _make_recon_system(n, res, n_view, n_frame, progressive_done=True):
     import jax
     from animate3d_tpu.data.cameras import fixed_view_cameras, gs_cameras_from_batch
     from animate3d_tpu.gaussians.deform import DeformConfig
@@ -142,18 +210,26 @@ def bench_recon_step(n: int = 20000, res: int = 256, n_view: int = 4,
         loss=LossConfig(),
     )
     system = Animate3DSystem(cfg, state=state)
+    if progressive_done:
+        system.global_step = cfg.progressive_iter_per_frame * n_frame + 1
+    return system, cams, gs_cameras_from_batch(cams)
+
+
+def bench_recon_step(n: int = 20000, res: int = 256, n_view: int = 4,
+                     n_frame: int = 16) -> float:
+    import jax
+
+    system, cams, gs_cams = _make_recon_system(n, res, n_view, n_frame)
     rng = np.random.default_rng(0)
     batch = {
-        "gs_cameras": gs_cameras_from_batch(cams),
+        "gs_cameras": gs_cams,
         "timestamps": cams["timestamps"],
-        "rgb": rng.uniform(size=(n_view * n_frame, res, res, 3)).astype(np.float32),
-        "mask": np.ones((n_view * n_frame, res, res, 1), np.float32),
+        # GT uploaded once like the real training loop
+        "rgb": jax.numpy.asarray(
+            rng.uniform(size=(n_view * n_frame, res, res, 3)).astype(np.float32)),
+        "mask": jax.numpy.asarray(
+            np.ones((n_view * n_frame, res, res, 1), np.float32)),
     }
-    # fully-unlocked schedule (the steady-state cost); GT uploaded once like
-    # the real training loop
-    batch["rgb"] = jax.numpy.asarray(batch["rgb"])
-    batch["mask"] = jax.numpy.asarray(batch["mask"])
-    system.global_step = cfg.progressive_iter_per_frame * n_frame + 1
     m = system.step(batch, jax.random.PRNGKey(0))  # compile + warmup
     jax.block_until_ready(m)
     t0 = time.perf_counter()
@@ -164,27 +240,203 @@ def bench_recon_step(n: int = 20000, res: int = 256, n_view: int = 4,
     return (time.perf_counter() - t0) / iters
 
 
+def bench_recon_quality(n: int = 4000, res: int = 128, n_view: int = 4,
+                        n_frame: int = 8, steps: int = 300) -> float:
+    """Final PSNR of a short reconstruction against a SYNTHETIC ground-truth
+    animation (the static splat under a known rigid motion) — the in-repo
+    stand-in for "reference PSNR on dragon_head" while real assets can't be
+    fetched.  Anchors every perf change to a quality number."""
+    import jax
+    import jax.numpy as jnp
+    from animate3d_tpu.rendering.renderer4d import render_batch
+    from animate3d_tpu.utils.metrics import psnr
+
+    system, cams, gs_cams = _make_recon_system(
+        n, res, n_view, n_frame, progressive_done=False)
+    state = system.state
+
+    def gt_deform(state, t, _ds):
+        # rigid swing: rotate about z by 0.25·sin(π·(t+1)/2) rad + small bob
+        ang = 0.25 * jnp.sin(jnp.pi * (t + 1.0) / 2.0)
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        x, y, z = state.xyz[:, 0], state.xyz[:, 1], state.xyz[:, 2]
+        xyz = jnp.stack([c * x - s * y, s * x + c * y,
+                         z + 0.05 * jnp.sin(jnp.pi * (t + 1.0))], axis=1)
+        return xyz, state.get_rotation(), state.get_scaling(), None
+
+    ts = jnp.asarray(cams["timestamps"])
+    gt = render_batch(state, gt_deform, gs_cams, ts, system.cfg.renderer,
+                      key=None, do_reconstruction=False)
+    batch = {
+        "gs_cameras": gs_cams,
+        "timestamps": cams["timestamps"],
+        "rgb": jnp.clip(gt.rgb, 0.0, 1.0),
+        "mask": (gt.alpha > 0.5).astype(jnp.float32)[..., None],
+    }
+    key = jax.random.PRNGKey(7)
+    # full-unlock from the start (progressive schedule is a training nicety,
+    # not needed to measure achievable quality on a tiny scene)
+    system.global_step = system.cfg.progressive_iter_per_frame * n_frame + 1
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        system.step(batch, sub)
+    out = system.render(gs_cams, ts)
+    bgc = jnp.asarray(system.cfg.renderer.back_ground_color, jnp.float32)
+    gt_comp = batch["rgb"] * batch["mask"] + bgc * (1.0 - batch["mask"])
+    # skip frame 0 (static anchor carries no recon loss)
+    keep = np.asarray(cams["timestamps"]) > -1.0
+    return float(psnr(out.rgb[keep], gt_comp[keep]))
+
+
+def bench_refine_step(n: int = 20000, recon_res: int = 1024,
+                      n_view: int = 4, n_frame: int = 16) -> float:
+    """Stage-2 refine step at reference budgets (refine_frame_16.yaml:10,27):
+    1024² recon renders of all 64 view-frames + a 64-item 256² SDS batch
+    through the frozen full-size MV-VDM (three-program chain)."""
+    import jax
+    import jax.numpy as jnp
+    from animate3d_tpu.data.cameras import fixed_view_cameras, gs_cameras_from_batch
+    from animate3d_tpu.gaussians.deform import DeformConfig
+    from animate3d_tpu.gaussians.state import random_state
+    from animate3d_tpu.pipelines.guidance import build_guidance_from_config
+    from animate3d_tpu.rendering.renderer4d import Renderer4DConfig
+    from animate3d_tpu.systems.animate3d import (
+        Animate3DConfig,
+        Animate3DSystem,
+        LossConfig,
+    )
+
+    acfg = Animate3DConfig(
+        n_view=n_view, n_frame=n_frame, progressive_iter_per_frame=50,
+        sample_strategy="normal", load_guidance=True,
+        deform=DeformConfig(),
+        renderer=Renderer4DConfig(height=recon_res, width=recon_res),
+        loss=LossConfig(lambda_sds=0.1),
+    )
+    sys_cfg = {"guidance": {"model_size": "full", "n_frame": n_frame,
+                            "image_size": 256, "guidance_scale": 5.0}}
+    guidance, ginputs = build_guidance_from_config(sys_cfg, acfg)
+    state = random_state(jax.random.PRNGKey(0), n, radius=0.4)
+    system = Animate3DSystem(acfg, state=state, guidance=guidance,
+                             guidance_inputs=ginputs)
+    system.global_step = acfg.progressive_iter_per_frame * n_frame + 1
+
+    cams = fixed_view_cameras(height=recon_res, width=recon_res,
+                              total_frame=n_frame)
+    rng = np.random.default_rng(0)
+    batch = {
+        "gs_cameras": gs_cameras_from_batch(cams),
+        "timestamps": cams["timestamps"],
+        "rgb": jnp.asarray(rng.uniform(
+            size=(n_view * n_frame, recon_res, recon_res, 3)).astype(np.float32)),
+        "mask": jnp.asarray(np.ones(
+            (n_view * n_frame, recon_res, recon_res, 1), np.float32)),
+    }
+    g_cams = fixed_view_cameras(height=256, width=256, total_frame=n_frame)
+    guidance_batch = {
+        "cameras": gs_cameras_from_batch(g_cams),
+        "timestamps": jnp.asarray(g_cams["timestamps"]),
+        "c2w": jnp.asarray(g_cams["c2w"]),
+        "text_cond": ginputs["text_cond"],
+        "text_uncond": ginputs["text_uncond"],
+        "image_embeds": ginputs["image_embeds"],
+    }
+    m = system.step(batch, jax.random.PRNGKey(0), guidance_batch=guidance_batch)
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    iters = 3
+    for i in range(iters):
+        m = system.step(batch, jax.random.PRNGKey(i + 1),
+                        guidance_batch=guidance_batch)
+    jax.block_until_ready(m)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_trainer_step(n_views: int = 4, n_frames: int = 16,
+                       latent: int = 32) -> float:
+    """MV-VDM trainer step at reference scale (train.yaml: batch 1 video =
+    4 views × 16 frames @256² → 32² latents, bf16, motion/i2v-only updates)
+    with gradient checkpointing on (train.py:380-382)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+    from animate3d_tpu.pipelines.train_mvvdm import (
+        MVVDMTrainConfig,
+        TrainBatch,
+        make_optimizer,
+        make_train_step,
+    )
+
+    ucfg = dataclasses.replace(MVUNetConfig(), gradient_checkpointing=True)
+    model = MVMotionUNet(ucfg, dtype=jnp.bfloat16)
+    tcfg = MVVDMTrainConfig(num_views=n_views)
+    rng = np.random.default_rng(0)
+    bn = n_views
+    latents = jnp.asarray(rng.normal(size=(bn, n_frames, latent, latent, 4)),
+                          jnp.float32)
+    text = jnp.asarray(rng.normal(size=(bn, 77, ucfg.cross_attention_dim)),
+                       jnp.float32)
+    camera = jnp.asarray(rng.normal(size=(bn, 16)), jnp.float32)
+    img = jnp.asarray(rng.normal(size=(bn, ucfg.image_embed_dim)), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), latents[:, :2],
+                                 jnp.asarray(0.0), text, camera, img)
+
+    def unet_apply(p, lat, t, ctx, cam, ie, i2v_cond_time_zero=False):
+        return model.apply(p, lat, t, ctx, cam, ie,
+                           i2v_cond_time_zero=i2v_cond_time_zero)
+
+    tx = make_optimizer(params, tcfg)
+    opt_state = tx.init(params)
+    train_step = jax.jit(make_train_step(unet_apply, tx, tcfg))
+    batch = TrainBatch(latents=latents, text_ctx=text,
+                       null_text_ctx=jnp.zeros_like(text), camera=camera,
+                       image_embeds=img)
+    params, opt_state, m = train_step(params, opt_state, batch,
+                                      jax.random.PRNGKey(1))
+    jax.block_until_ready(m)
+    t0 = time.perf_counter()
+    iters = 3
+    for i in range(iters):
+        params, opt_state, m = train_step(params, opt_state, batch,
+                                          jax.random.PRNGKey(i + 2))
+    jax.block_until_ready(m)
+    return (time.perf_counter() - t0) / iters
+
+
 def main() -> None:
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_animate3d_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    denoise = bench_denoise_step()
+    denoise, denoise_tflops, denoise_mfu = bench_denoise_step()
     raster_fps = bench_raster_fps()
     recon = bench_recon_step()
+    refine = bench_refine_step()
+    trainer = bench_trainer_step()
+    quality_psnr = bench_recon_quality()
+    binning = bench_binning_quality()
 
-    pipeline_min = (75 * denoise + 800 * recon + FIXED_OVERHEAD_SEC) / 60.0
+    pipeline_min = (75 * denoise + 800 * recon + 200 * refine
+                    + FIXED_OVERHEAD_SEC) / 60.0
     print(json.dumps({
-        "metric": "full_pipeline_minutes",
+        "metric": "two_stage_pipeline_minutes",
         "value": round(pipeline_min, 2),
-        "unit": "min (75 denoise steps + 800 recon steps + 30s glue; "
+        "unit": "min (75 denoise + 800 recon + 200 refine steps + 30s glue; "
                 "reference claims 15 min total on a >=24GB GPU)",
         "vs_baseline": round(BASELINE_MINUTES / pipeline_min, 3),
         "extra": {
             "mvvdm_sec_per_denoise_step": round(denoise, 4),
+            "mvvdm_achieved_tflops": round(denoise_tflops, 1),
+            "mvvdm_mfu": round(denoise_mfu, 4),
             "recon_sec_per_step": round(recon, 4),
+            "refine_sec_per_step": round(refine, 4),
+            "mvvdm_trainer_sec_per_step": round(trainer, 4),
             "raster_fps_512": round(raster_fps, 1),
+            "recon_synthetic_gt_psnr": round(quality_psnr, 2),
+            **binning,
         },
     }))
 
