@@ -48,6 +48,39 @@ def attention_xla(
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
 
 
+def _packed_small_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
+    scale: float, pack_to: int = 128,
+) -> jnp.ndarray:
+    """Attention over many tiny sequences, packed to MXU width.
+
+    The motion modules' temporal attention (reference
+    animatediff/models/motion_module.py VersatileAttention, temporal mode)
+    runs (B·N·H·W) independent 16-token sequences: XLA lowers that as ~65k
+    per-head (16×40)·(40×16) matmuls, each occupying a sliver of one
+    128×128 MXU tile. Pack P = pack_to//S sequences along the token axis
+    and mask cross-sequence scores with a -inf block-diagonal bias: P×
+    fewer, full-width matmuls for the same result.
+    """
+    B, S, C = q.shape
+    P = max(1, pack_to // S)
+    pad_b = (-B) % P
+    if pad_b:
+        q, k, v = (jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+                   for x in (q, k, v))
+    Bp = B + pad_b
+    qh, kh, vh = (_split_heads(x.reshape(Bp // P, P * S, C), num_heads)
+                  for x in (q, k, v))
+    blk = jnp.arange(P * S, dtype=jnp.int32) // S
+    bias = jnp.where(blk[:, None] == blk[None, :], 0.0,
+                     -jnp.inf).astype(jnp.float32)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qh, kh).astype(jnp.float32) * scale
+    probs = jax.nn.softmax(logits + bias, axis=-1).astype(qh.dtype)
+    out = _merge_heads(jnp.einsum("bhqk,bhkd->bhqd", probs, vh))
+    out = out.reshape(Bp, S, C)
+    return out[:B] if pad_b else out
+
+
 # ---------------------------------------------------------------------------
 # Pallas flash attention (non-causal, no mask — the MV-VDM never masks)
 # ---------------------------------------------------------------------------
@@ -69,7 +102,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
 
     q = q_ref[0]  # (BQ, D) — input dtype so the MXU runs native bf16
     k_blk = k_ref[0]  # (BK, D)
-    v_blk = v_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0]
 
     s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
     m_prev = m_ref[:]
@@ -78,7 +111,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, acc_ref, m_ref, l_ref,
     p = jnp.exp(s - m_new)
     alpha = jnp.exp(m_prev - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(p, v_blk,
+    # p in the INPUT dtype for the PV dot (f32×f32 matmuls run the MXU at
+    # 1/4 bf16 rate); accumulation stays f32 via the acc scratch
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(p.astype(v_blk.dtype), v_blk,
                                               preferred_element_type=jnp.float32)
     m_ref[:] = m_new
 
@@ -98,35 +133,36 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-def _flash_kernel_wholek(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
-                         block_k: int):
-    """Single-program variant: the whole K/V lives in VMEM (fastest when it
-    fits — no per-k-block grid revisits of the softmax scratch)."""
+def _flash_kernel_wholek(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
+    """Dense one-pass variant: whole K/V in VMEM AND the (block_q, Sk) score
+    block fits VMEM, so the online-softmax state machine is pure overhead —
+    one full-width QKᵀ dot, an exact row softmax (3 VPU passes over the
+    scores instead of the streaming recurrence's ~12), one PV dot. This is
+    the hot path for the MV-VDM's level-0 cross-view attention
+    (Sq = Sk = n·l = 4096).
+
+    Two VPU-pass-saving tricks (each elementwise pass over the
+    (block_q, Sk) scores costs ~as much as the whole QKᵀ MXU time at D=40):
+    the softmax scale × log2(e) is folded into q BEFORE the dot (a
+    (block_q, D) pass instead of (block_q, Sk)), and the exponential runs
+    as native exp2 in base 2. lse is converted back to natural log for the
+    backward kernels. (A third trick — a ones-column planted in V's zero
+    padding so the PV dot yields the denominator on the MXU — measured
+    SLOWER on v5e: the unaligned lane extraction at column D beats the
+    row-sum pass it saves.)"""
+    log2e = 1.4426950408889634
     q = q_ref[0]
-    bq = q.shape[0]
-    sk = k_ref.shape[1]
-
-    def body(i, carry):
-        acc, m_prev, l_prev = carry
-        k_blk = k_ref[0, pl.ds(i * block_k, block_k), :]
-        v_blk = v_ref[0, pl.ds(i * block_k, block_k), :].astype(jnp.float32)
-        s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.dot(p, v_blk, preferred_element_type=jnp.float32)
-        return acc, m_new, l_new
-
-    d = q.shape[-1]
-    init = (jnp.zeros((bq, d), jnp.float32),
-            jnp.full((bq, 1), -jnp.inf, jnp.float32),
-            jnp.zeros((bq, 1), jnp.float32))
-    acc, m, l = jax.lax.fori_loop(0, sk // block_k, body, init)
-    l_safe = jnp.maximum(l, 1e-30)
+    k = k_ref[0]
+    v = v_ref[0]
+    qs = (q.astype(jnp.float32) * (scale * log2e)).astype(q.dtype)
+    s = jnp.dot(qs, k.T, preferred_element_type=jnp.float32)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp2(s - m)
+    l_safe = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+    # bf16 p for the PV dot (f32 matmuls run at 1/4 bf16 MXU rate); f32 acc
+    acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = m + jnp.log(l_safe)
+    lse_ref[0] = (m + jnp.log2(l_safe)) * (1.0 / log2e)
 
 
 def _flash_attention_fwd_impl(
@@ -154,11 +190,13 @@ def _flash_attention_fwd_impl(
     lse_spec = pl.BlockSpec((1, block_q, 1), lambda i, j, *_: (i, j, 0),
                             memory_space=pltpu.VMEM)
 
-    # whole-K variant when K/V fit comfortably in VMEM
+    # dense variant when K/V AND the (block_q, Sk) f32 score block fit in
+    # VMEM together (~10 MB of the ~16 MB/core at 256×4096)
     kv_bytes = 2 * sk * dp * kf.dtype.itemsize
-    if kv_bytes <= 4 * 1024 * 1024:
+    score_bytes = block_q * sk * 4
+    if kv_bytes <= 4 * 1024 * 1024 and score_bytes <= 4 * 1024 * 1024:
         out, lse = pl.pallas_call(
-            functools.partial(_flash_kernel_wholek, scale=scale, block_k=block_k),
+            functools.partial(_flash_kernel_wholek, scale=scale),
             grid=(b * h, sq_p // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),
@@ -457,6 +495,12 @@ def multi_head_attention(
 
             return _spa.ring_attention_sharded(mesh, q, k, v, num_heads,
                                                scale, axis_name)
+    packable = (q.shape == k.shape == v.shape and q.shape[1] <= 32
+                and q.shape[0] >= 2 * (128 // q.shape[1]))
+    if packable and (backend == "packed" or (
+            backend == "auto" and jax.default_backend() == "tpu")):
+        # tiny-sequence self/temporal attention: pack to MXU width
+        return _packed_small_attention(q, k, v, num_heads, scale)
     qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
     use_flash = False
     if backend == "flash":

@@ -1,0 +1,211 @@
+"""Microbenchmarks for the MV-VDM denoise step's components on TPU.
+
+Times each attention/conv/norm/layout component at the FULL-SCALE denoise
+shapes (CFG pair: b=2, n=4 views, f=16 frames, 32x32 latents, SD1.5
+channels) with ``bench.chain_bench`` (memoization-safe two-point timing
+through the axon tunnel), then attributes the measured full-step time
+across components using the per-level site counts.
+
+Usage:  python scripts/denoise_microbench.py [component ...]
+        (no args = all; writes docs/denoise_microbench.json)
+
+Shapes per level (site counts from models/unet_mv.py topology — SD1.5:
+5 transformer blocks at L0/L1, 6 at L2+mid; 21 motion modules x 2 attns):
+
+  cross-view attn1 + motion spatial:  (b f, n*l, c)  = (32, 4096/1024/256, C)
+  temporal attention:                 (b n h w, f, c) = (8192/2048/512, 16, C)
+  text cross-attention:               (b n f, l, c)   = (128, 1024/256/64, C)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from bench import chain_bench, program_tflops
+
+# (level, batch, seq, channels, heads) for the cross-view layout (b f)(n l)c
+CROSS_VIEW = [(0, 32, 4096, 320, 8), (1, 32, 1024, 640, 8),
+              (2, 32, 256, 1280, 8)]
+# temporal layout (b n h w) f c
+TEMPORAL = [(0, 8192, 16, 320, 8), (1, 2048, 16, 640, 8),
+            (2, 512, 16, 1280, 8)]
+# text cross layout (b n f) l c, 77 kv tokens projected to c
+TEXT = [(0, 128, 1024, 320, 8), (1, 128, 256, 640, 8), (2, 128, 64, 1280, 8)]
+# per-step call counts per level [attn1+motion_sp, temporal, text]
+N_CROSS = {0: 15, 1: 15, 2: 18}   # 5/5/6 attn1 + 10/10/12 motion spatial
+N_TEMPORAL = {0: 10, 1: 10, 2: 22}
+N_TEXT = {0: 5, 1: 5, 2: 6}
+
+
+def _rng(*shape):
+    return np.random.default_rng(0).normal(size=shape).astype(np.float32)
+
+
+def bench_attention(batch, seq, ch, heads, backend, kv_seq=None):
+    import jax.numpy as jnp
+    from animate3d_tpu.ops.attention import multi_head_attention
+
+    q = jnp.asarray(_rng(batch, seq, ch), jnp.bfloat16)
+    kv = q if kv_seq is None else jnp.asarray(_rng(batch, kv_seq, ch),
+                                              jnp.bfloat16)
+    fn = lambda kvc, x: multi_head_attention(x, kvc, kvc, heads,
+                                             backend=backend)
+    sec = chain_bench(fn, q, iters=20, consts=kv)
+    return sec
+
+
+def bench_conv(batch=128, res=32, cin=320, cout=320):
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.asarray(_rng(batch, res, res, cin), jnp.bfloat16)
+    w = jnp.asarray(_rng(3, 3, cin, cout), jnp.bfloat16)
+
+    def fn(w, x):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    sec = chain_bench(fn, x, iters=20, consts=w)
+    tf = program_tflops(lambda w, x: fn(w, x), w, x)
+    return sec, tf / sec if tf else 0.0
+
+
+def bench_groupnorm(batch=128, res=32, ch=320, groups=32):
+    import jax.numpy as jnp
+
+    x = jnp.asarray(_rng(batch, res, res, ch), jnp.bfloat16)
+    scale = jnp.ones((ch,), jnp.float32)
+
+    def fn(scale, x):
+        xf = x.astype(jnp.float32).reshape(x.shape[0], res * res, groups,
+                                           ch // groups)
+        mu = jnp.mean(xf, axis=(1, 3), keepdims=True)
+        var = jnp.mean((xf - mu) ** 2, axis=(1, 3), keepdims=True)
+        out = (xf - mu) * jax.lax.rsqrt(var + 1e-5)
+        return (out.reshape(x.shape) * scale).astype(x.dtype)
+
+    import jax
+    return chain_bench(fn, x, iters=20, consts=scale)
+
+
+def bench_transpose():
+    """(b n f) l c -> (b f) (n l) c -> back: the cross-view layout shuffle."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(_rng(128, 1024, 320), jnp.bfloat16)
+
+    def fn(_, x):
+        b, n, f, l, c = 2, 4, 16, 1024, 320
+        y = x.reshape(b, n, f, l, c).transpose(0, 2, 1, 3, 4).reshape(
+            b * f, n * l, c)
+        y = y * 1.000001
+        return y.reshape(b, f, n, l, c).transpose(0, 2, 1, 3, 4).reshape(
+            b * n * f, l, c)
+
+    return chain_bench(fn, x, iters=20, consts=jnp.zeros(()))
+
+
+def bench_geglu(batch=128, seq=1024, ch=320):
+    import jax.numpy as jnp
+
+    x = jnp.asarray(_rng(batch, seq, ch), jnp.bfloat16)
+    w1 = jnp.asarray(_rng(ch, ch * 8) * 0.02, jnp.bfloat16)
+    w2 = jnp.asarray(_rng(ch * 4, ch) * 0.02, jnp.bfloat16)
+
+    def fn(ws, x):
+        import jax.nn
+        w1, w2 = ws
+        proj = x @ w1
+        h, g = jnp.split(proj, 2, axis=-1)
+        return (h * jax.nn.gelu(g, approximate=False)) @ w2
+
+    return chain_bench(fn, x, iters=20, consts=(w1, w2))
+
+
+def main(argv):
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_animate3d_tpu")
+    sel = set(argv) if argv else None
+    want = lambda name: sel is None or name in sel
+    # merge into the existing results so partial runs (one component at a
+    # time around tunnel stalls) accumulate instead of clobbering
+    path = os.path.join("docs", "denoise_microbench.json")
+    out = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            out = json.load(f)
+
+    if want("cross"):
+        for lvl, b, s, c, h in CROSS_VIEW:
+            for backend in ("flash", "xla"):
+                if backend == "flash" and s % 512 != 0:
+                    continue
+                sec = bench_attention(b, s, c, h, backend)
+                out[f"cross_L{lvl}_{backend}_ms"] = round(sec * 1e3, 3)
+                print(f"cross-view L{lvl} ({b},{s},{c}) {backend}: "
+                      f"{sec*1e3:.2f} ms x{N_CROSS[lvl]}/step")
+    if want("temporal"):
+        for lvl, b, s, c, h in TEMPORAL:
+            for backend in ("xla", "packed"):
+                sec = bench_attention(b, s, c, h, backend)
+                key = (f"temporal_L{lvl}_ms" if backend == "xla"
+                       else f"temporal_L{lvl}_{backend}_ms")
+                out[key] = round(sec * 1e3, 3)
+                print(f"temporal L{lvl} ({b},{s},{c}) {backend}: "
+                      f"{sec*1e3:.2f} ms x{N_TEMPORAL[lvl]}/step")
+    if want("text"):
+        for lvl, b, s, c, h in TEXT:
+            sec = bench_attention(b, s, c, h, "xla", kv_seq=77)
+            out[f"text_L{lvl}_ms"] = round(sec * 1e3, 3)
+            print(f"text L{lvl} ({b},{s},{c}): {sec*1e3:.2f} ms "
+                  f"x{N_TEXT[lvl]}/step")
+    if want("conv"):
+        for cin, cout, res, tag in ((320, 320, 32, "L0"), (640, 640, 16, "L1"),
+                                    (1280, 1280, 8, "L2")):
+            sec, tfs = bench_conv(128, res, cin, cout)
+            out[f"conv_{tag}_ms"] = round(sec * 1e3, 3)
+            out[f"conv_{tag}_tflops"] = round(tfs, 1)
+            print(f"conv3x3 {tag} (128,{res},{res},{cin}->{cout}): "
+                  f"{sec*1e3:.2f} ms @ {tfs:.0f} TF/s")
+    if want("groupnorm"):
+        sec = bench_groupnorm()
+        out["groupnorm_L0_ms"] = round(sec * 1e3, 3)
+        print(f"groupnorm L0 (128,32,32,320): {sec*1e3:.2f} ms")
+    if want("transpose"):
+        sec = bench_transpose()
+        out["transpose_roundtrip_ms"] = round(sec * 1e3, 3)
+        print(f"cross-view transpose roundtrip: {sec*1e3:.2f} ms")
+    if want("geglu"):
+        sec = bench_geglu()
+        out["geglu_L0_ms"] = round(sec * 1e3, 3)
+        print(f"GEGLU FF L0 (128,1024,320): {sec*1e3:.2f} ms")
+
+    # attribution summary
+    tot = 0.0
+    for lvl in (0, 1, 2):
+        best_cross = min(v for k, v in out.items()
+                         if k.startswith(f"cross_L{lvl}")) if any(
+            k.startswith(f"cross_L{lvl}") for k in out) else 0.0
+        tot += best_cross * N_CROSS[lvl]
+        temporal = [v for k, v in out.items()
+                    if k.startswith(f"temporal_L{lvl}")]
+        tot += (min(temporal) if temporal else 0.0) * N_TEMPORAL[lvl]
+        tot += out.get(f"text_L{lvl}_ms", 0.0) * N_TEXT[lvl]
+    print(f"\nattention total (best backends x counts): {tot:.1f} ms/step")
+    out["attention_total_ms"] = round(tot, 1)
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

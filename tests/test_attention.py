@@ -205,3 +205,47 @@ class TestFlashBackward:
         of = multi_head_attention(q, k, v, 2, backend="flash")
         np.testing.assert_allclose(np.asarray(of), np.asarray(ox),
                                    atol=2e-5, rtol=1e-5)
+
+
+class TestPackedSmallAttention:
+    """The MXU-packed path for tiny temporal sequences (backend='packed')."""
+
+    def _qkv(self, b, s, c=40, seed=3):
+        rng = np.random.default_rng(seed)
+        return tuple(jnp.asarray(rng.normal(size=(b, s, c)), jnp.float32)
+                     for _ in range(3))
+
+    @pytest.mark.parametrize("b,s", [(24, 16), (13, 16), (7, 32), (256, 8)])
+    def test_packed_matches_xla(self, b, s):
+        # b=13 / b=7 exercise the pad-to-pack-multiple + slice-back path
+        q, k, v = self._qkv(b, s)
+        op = multi_head_attention(q, k, v, 2, backend="packed")
+        ox = multi_head_attention(q, k, v, 2, backend="xla")
+        np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                                   atol=2e-5, rtol=1e-5)
+
+    def test_packed_grads_match_xla(self):
+        q, k, v = self._qkv(24, 16)
+
+        def loss(backend):
+            def fn(q, k, v):
+                out = multi_head_attention(q, k, v, 2, backend=backend)
+                return jnp.sum(out ** 2) + jnp.sum(out[:, :5] * 0.3)
+            return fn
+
+        gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+        gp = jax.grad(loss("packed"), argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(gx, gp, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       atol=5e-5, rtol=5e-5, err_msg=name)
+
+    def test_packed_falls_back_on_cross_attention(self):
+        # ragged kv (77-token text) can't pack; 'packed' must not break
+        rng = np.random.default_rng(4)
+        q = jnp.asarray(rng.normal(size=(8, 16, 40)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(8, 77, 40)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(8, 77, 40)), jnp.float32)
+        op = multi_head_attention(q, k, v, 2, backend="packed")
+        ox = multi_head_attention(q, k, v, 2, backend="xla")
+        np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
+                                   atol=2e-5, rtol=1e-5)
