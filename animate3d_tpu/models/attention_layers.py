@@ -33,12 +33,47 @@ import jax
 import jax.numpy as jnp
 
 from animate3d_tpu.ops.attention import multi_head_attention
+from animate3d_tpu.ops.geglu import geglu_ff
 from animate3d_tpu.models.embeddings import (
     add_temporal_positional_embedding,
     sine_positional_encoding_2d,
     sinusoidal_positions,
     LearnedPositionalEncoding2D,
 )
+
+
+class _ProjKernel(nn.Module):
+    """Declares a Dense-compatible bias-free projection kernel
+    (``params/<name>/kernel``, lecun-normal init — identical tree and RNG
+    stream to ``nn.Dense(name=<name>, use_bias=False)``) and returns it, so
+    several projections sharing one input can run as a single concatenated
+    matmul (one read of the activations instead of three/four — the q/k/v
+    HBM-fusion lever from docs/denoise_roofline.md) while the checkpoint
+    layout stays 1:1 with the reference's per-projection Linears."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (self.in_dim, self.features)
+        )
+
+
+def _fused_proj(x: jnp.ndarray, names, features: int, dtype) -> list:
+    """One ``x @ [W_a | W_b | ...]`` matmul split into per-name outputs.
+
+    Mirrors nn.Dense semantics (input and kernels promoted to ``dtype``
+    before the dot). Each output column block is the same contraction as the
+    separate Dense would compute."""
+    c = x.shape[-1]
+    # auto-parented to the calling compact module (same mechanism as the
+    # `dense = lambda ...` helpers below)
+    kernels = [_ProjKernel(in_dim=c, features=features, name=nm)() for nm in names]
+    w = jnp.concatenate([k.astype(dtype) for k in kernels], axis=1)
+    out = x.astype(dtype) @ w
+    return jnp.split(out, len(names), axis=-1)
 
 
 class CrossViewSelfAttention(nn.Module):
@@ -60,9 +95,11 @@ class CrossViewSelfAttention(nn.Module):
         dense = lambda feats, use_bias, name: nn.Dense(
             feats, use_bias=use_bias, dtype=self.dtype, name=name
         )
-        q = dense(c, False, "to_q")(xr)
-        k = dense(c, False, "to_k")(xr)
-        v = dense(c, False, "to_v")(xr)
+        if self.image_attn:
+            q, k, v, qi = _fused_proj(
+                xr, ("to_q", "to_k", "to_v", "to_q_i2v"), c, self.dtype)
+        else:
+            q, k, v = _fused_proj(xr, ("to_q", "to_k", "to_v"), c, self.dtype)
         h = multi_head_attention(q, k, v, self.num_heads)
 
         if self.image_attn:
@@ -71,7 +108,6 @@ class CrossViewSelfAttention(nn.Module):
             v0 = v.reshape(b, f, n * l, c)[:, 0]
             k0 = jnp.broadcast_to(k0[:, None], (b, f, n * l, c)).reshape(b * f, n * l, c)
             v0 = jnp.broadcast_to(v0[:, None], (b, f, n * l, c)).reshape(b * f, n * l, c)
-            qi = dense(c, False, "to_q_i2v")(xr)
             hi = multi_head_attention(qi, k0, v0, self.num_heads)
             # zero-init out-projection: the I2V branch is an exact no-op at
             # install time (reference inference.py:160-168; to_q_i2v is
@@ -107,13 +143,11 @@ class TextCrossAttention(nn.Module):
             feats, use_bias=use_bias, dtype=self.dtype, name=name
         )
         q = dense(c, False, "to_q")(x)
-        k = dense(c, False, "to_k")(context)
-        v = dense(c, False, "to_v")(context)
+        k, v = _fused_proj(context, ("to_k", "to_v"), c, self.dtype)
         h = multi_head_attention(q, k, v, self.num_heads)
 
         if self.ip_enabled and ip_context is not None:
-            ip_k = dense(c, False, "to_k_ip")(ip_context)
-            ip_v = dense(c, False, "to_v_ip")(ip_context)
+            ip_k, ip_v = _fused_proj(ip_context, ("to_k_ip", "to_v_ip"), c, self.dtype)
             h_ip = multi_head_attention(q, ip_k, ip_v, self.num_heads)
             h = h + self.ip_scale * h_ip
 
@@ -200,17 +234,14 @@ class SpatioTemporalAttention(nn.Module):
         if use_extra_encoding:
             x = add_temporal_positional_embedding(x, self.max_seq_length)
 
-        q = dense(c, False, "to_q")(x)
-        k = dense(c, False, "to_k")(x)
-        v = dense(c, False, "to_v")(x)
+        q, k, v = _fused_proj(x, ("to_q", "to_k", "to_v"), c, self.dtype)
         h_t = multi_head_attention(q, k, v, self.num_heads)
         h_t = dense(c, True, "to_out_0")(h_t)
 
         h_sp = None
         if self.spatial_attn:
-            qs = dense(c, False, "to_q_sp")(xs)
-            ks = dense(c, False, "to_k_sp")(xs)
-            vs = dense(c, False, "to_v_sp")(xs)
+            qs, ks, vs = _fused_proj(
+                xs, ("to_q_sp", "to_k_sp", "to_v_sp"), c, self.dtype)
             hs = multi_head_attention(qs, ks, vs, self.num_heads)
             out_init = (nn.initializers.zeros if not self.use_alpha_blender
                         else nn.initializers.lecun_normal())
@@ -224,8 +255,7 @@ class SpatioTemporalAttention(nn.Module):
         if self.image_attn:
             qi = dense(c, False, "to_q_i2v")(xi)
             x0 = xi.reshape(b * n, f, hw, c)[:, 0]  # first frame tokens
-            ki = dense(c, False, "to_k_i2v")(x0)
-            vi = dense(c, False, "to_v_i2v")(x0)
+            ki, vi = _fused_proj(x0, ("to_k_i2v", "to_v_i2v"), c, self.dtype)
             ki = jnp.broadcast_to(ki[:, None], (b * n, f, hw, c)).reshape(b * n * f, hw, c)
             vi = jnp.broadcast_to(vi[:, None], (b * n, f, hw, c)).reshape(b * n * f, hw, c)
             hi = multi_head_attention(qi, ki, vi, self.num_heads)
@@ -263,14 +293,25 @@ class TemporalSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.channels
-        dense = lambda feats, use_bias, name: nn.Dense(
-            feats, use_bias=use_bias, dtype=self.dtype, name=name
-        )
-        q = dense(c, False, "to_q")(x)
-        k = dense(c, False, "to_k")(x)
-        v = dense(c, False, "to_v")(x)
+        q, k, v = _fused_proj(x, ("to_q", "to_k", "to_v"), c, self.dtype)
         h = multi_head_attention(q, k, v, self.num_heads)
-        return dense(c, True, "to_out_0")(h)
+        return nn.Dense(c, use_bias=True, dtype=self.dtype, name="to_out_0")(h)
+
+
+class _DenseParams(nn.Module):
+    """Dense-compatible kernel+bias declaration (``<name>/{kernel,bias}``)
+    returning the raw params, for ops that fuse several Dense layers into
+    one kernel (ops/geglu.py) while keeping the checkpoint layout."""
+
+    in_dim: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.in_dim, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
 
 
 class FeedForwardGEGLU(nn.Module):
@@ -280,11 +321,12 @@ class FeedForwardGEGLU(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # GEGLU with exact (erf) GELU — torch F.gelu default used by
+        # diffusers GEGLU; flax's tanh approximation drifts ~1e-3 relative
+        # (caught by the reference-derived goldens, tests/test_golden_ref.py).
+        # Runs as one fused Pallas kernel on TPU (ops/geglu.py) — the
+        # projection and gated hidden never leave VMEM.
         inner = self.channels * self.mult
-        proj = nn.Dense(inner * 2, dtype=self.dtype, name="net_0_proj")(x)
-        hidden, gate = jnp.split(proj, 2, axis=-1)
-        # exact (erf) GELU — torch F.gelu default used by diffusers GEGLU;
-        # flax's tanh approximation drifts ~1e-3 relative (caught by the
-        # reference-derived goldens, tests/test_golden_ref.py)
-        x = hidden * nn.gelu(gate, approximate=False)
-        return nn.Dense(self.channels, dtype=self.dtype, name="net_2")(x)
+        w1, b1 = _DenseParams(x.shape[-1], inner * 2, name="net_0_proj")()
+        w2, b2 = _DenseParams(inner, self.channels, name="net_2")()
+        return geglu_ff(x, w1, b1, w2, b2, dtype=self.dtype)

@@ -129,6 +129,49 @@ def bench_geglu(batch=128, seq=1024, ch=320):
     return chain_bench(fn, x, iters=20, consts=(w1, w2))
 
 
+def bench_geglu_fused(batch=128, seq=1024, ch=320):
+    """Fused Pallas GEGLU (ops/geglu.py) at the same L0 shapes."""
+    import jax.numpy as jnp
+
+    from animate3d_tpu.ops.geglu import _geglu_fused
+
+    x = jnp.asarray(_rng(batch, seq, ch), jnp.bfloat16)
+    w1 = jnp.asarray(_rng(ch, ch * 8) * 0.02, jnp.bfloat16)
+    b1 = jnp.zeros((ch * 8,), jnp.bfloat16)
+    w2 = jnp.asarray(_rng(ch * 4, ch) * 0.02, jnp.bfloat16)
+    b2 = jnp.zeros((ch,), jnp.bfloat16)
+
+    def fn(ws, x):
+        w1, b1, w2, b2 = ws
+        y = _geglu_fused(jnp.bfloat16, x.reshape(-1, x.shape[-1]),
+                         w1, b1, w2, b2)
+        return y.reshape(x.shape)
+
+    return chain_bench(fn, x, iters=20, consts=(w1, b1, w2, b2))
+
+
+def bench_qkv(batch=32, seq=4096, ch=320, fused=False):
+    """3 shared-input projections as separate matmuls vs one concatenated
+    matmul (attention_layers._fused_proj)."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(_rng(batch, seq, ch), jnp.bfloat16)
+    ws = tuple(jnp.asarray(_rng(ch, ch) * 0.02, jnp.bfloat16)
+               for _ in range(3))
+
+    if fused:
+        def fn(ws, x):
+            w = jnp.concatenate(ws, axis=1)
+            out = x @ w
+            q, k, v = jnp.split(out, 3, axis=-1)
+            return q + k + v
+    else:
+        def fn(ws, x):
+            return x @ ws[0] + x @ ws[1] + x @ ws[2]
+
+    return chain_bench(fn, x, iters=20, consts=ws)
+
+
 def main(argv):
     import jax
 
@@ -188,6 +231,21 @@ def main(argv):
         sec = bench_geglu()
         out["geglu_L0_ms"] = round(sec * 1e3, 3)
         print(f"GEGLU FF L0 (128,1024,320): {sec*1e3:.2f} ms")
+        for ch, res, tag in ((320, 32, "L0"), (640, 16, "L1"), (1280, 8, "L2")):
+            sec = bench_geglu_fused(128, res * res, ch)
+            out[f"geglu_{tag}_fused_ms"] = round(sec * 1e3, 3)
+            print(f"GEGLU fused {tag} (128,{res*res},{ch}): {sec*1e3:.2f} ms")
+            if tag != "L0":
+                sec = bench_geglu(128, res * res, ch)
+                out[f"geglu_{tag}_ms"] = round(sec * 1e3, 3)
+                print(f"GEGLU xla {tag} (128,{res*res},{ch}): {sec*1e3:.2f} ms")
+    if want("qkv"):
+        for fused in (False, True):
+            sec = bench_qkv(fused=fused)
+            key = "qkv_L0_fused_ms" if fused else "qkv_L0_separate_ms"
+            out[key] = round(sec * 1e3, 3)
+            print(f"qkv L0 (32,4096,320) {'fused' if fused else 'separate'}: "
+                  f"{sec*1e3:.2f} ms")
 
     # attribution summary
     tot = 0.0

@@ -88,7 +88,18 @@ class TestCrossViewSelfAttention:
                              if not k.endswith("_i2v")}}
         out_i2v = np.asarray(m_i2v.apply(params, self.x, self.f))
         out_plain = np.asarray(m_plain.apply(shared, self.x, self.f))
-        np.testing.assert_array_equal(out_i2v, out_plain)
+        # q/k/v run as one fused matmul whose width includes to_q_i2v when
+        # image_attn=True (attention_layers._fused_proj), so plain-vs-i2v is
+        # equal only up to matmul-tiling reassociation (~1e-7)
+        np.testing.assert_allclose(out_i2v, out_plain, atol=1e-5, rtol=1e-6)
+        # the zero-contribution property itself is exact: scrambling the i2v
+        # QUERY projection must not change the output at all (to_out_i2v = 0)
+        import jax as _jax
+        scrambled = _jax.tree_util.tree_map(lambda p: p, params)
+        qi = scrambled["params"]["to_q_i2v"]["kernel"]
+        scrambled["params"]["to_q_i2v"]["kernel"] = qi + 7.0
+        out_scrambled = np.asarray(m_i2v.apply(scrambled, self.x, self.f))
+        np.testing.assert_array_equal(out_i2v, out_scrambled)
 
 
 class TestTextCrossAttention:
@@ -249,3 +260,55 @@ class TestPackedSmallAttention:
         ox = multi_head_attention(q, k, v, 2, backend="xla")
         np.testing.assert_allclose(np.asarray(op), np.asarray(ox),
                                    atol=2e-5, rtol=1e-5)
+
+
+class TestFusedGEGLU:
+    """ops/geglu.py — fused feed-forward kernel parity vs the reference
+    Dense/split/gelu/Dense chain (docs/denoise_roofline.md lever (b))."""
+
+    def _inputs(self, m=300, c=64, inner=1280, dtype=jnp.float32, seed=0):
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.normal(size=(m, c)), dtype)
+        w1 = jnp.asarray(rng.normal(size=(c, 2 * inner)) * 0.05, dtype)
+        b1 = jnp.asarray(rng.normal(size=(2 * inner,)) * 0.05, dtype)
+        w2 = jnp.asarray(rng.normal(size=(inner, c)) * 0.05, dtype)
+        b2 = jnp.asarray(rng.normal(size=(c,)) * 0.05, dtype)
+        return x, w1, b1, w2, b2
+
+    def test_pallas_matches_reference(self):
+        from animate3d_tpu.ops.geglu import _geglu_pallas, _geglu_reference
+
+        x, w1, b1, w2, b2 = self._inputs()
+        ref = _geglu_reference(x, w1, b1, w2, b2, jnp.float32)
+        out = _geglu_pallas(x, w1, b1, w2, b2, jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_pallas_matches_reference_unaligned_rows(self):
+        # M not a multiple of the row block; C not a multiple of 128
+        from animate3d_tpu.ops.geglu import _geglu_pallas, _geglu_reference
+
+        x, w1, b1, w2, b2 = self._inputs(m=77, c=40, inner=640, seed=1)
+        ref = _geglu_reference(x, w1, b1, w2, b2, jnp.float32)
+        out = _geglu_pallas(x, w1, b1, w2, b2, jnp.float32, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-4, rtol=2e-4)
+
+    def test_module_output_and_grads_unchanged(self):
+        # FeedForwardGEGLU (which routes through geglu_ff) must match the
+        # plain chain it replaced, incl. gradients through the custom_vjp
+        from animate3d_tpu.ops.geglu import _geglu_fused, _geglu_reference
+
+        x, w1, b1, w2, b2 = self._inputs(m=64, c=32, inner=640, seed=2)
+
+        def loss_fused(*a):
+            return jnp.sum(_geglu_fused(jnp.float32, *a) ** 2)
+
+        def loss_ref(*a):
+            return jnp.sum(_geglu_reference(*a, jnp.float32) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+        for a, b_, name in zip(gr, gf, ("dx", "dw1", "db1", "dw2", "db2")):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       atol=2e-3, rtol=2e-3, err_msg=name)
