@@ -231,16 +231,25 @@ def _restore_for_eval(cfg, system, tag: str) -> None:
         print(f"[{tag}] restored {latest}")
 
 
-def _eval_renderer_cfg(cfg, system):
+def _eval_renderer_cfg(cfg, system, height=None, width=None):
     """Final evaluation renders use EXACT top_k binning unless the config
     opts out (system.renderer.exact_test_binning=false) — approx_max_k's
     ~1% candidate-recall loss is a training-speed trade, not something the
-    evaluation images should carry."""
+    evaluation images should carry. ``height``/``width`` override the raster
+    resolution: the rasterizer sizes from Renderer4DConfig, NOT from the
+    camera batch, so eval sizes (vis configs render at 1024²,
+    visualize_four_view_frame_16.yaml:27-28) must be threaded here."""
     import dataclasses
 
+    repl = {}
+    if height is not None and height != system.cfg.renderer.height:
+        repl.update(height=int(height))
+    if width is not None and width != system.cfg.renderer.width:
+        repl.update(width=int(width))
     if cfg.system.get("renderer", {}).get("exact_test_binning", True):
-        return dataclasses.replace(system.cfg.renderer, approx_binning=False)
-    return system.cfg.renderer
+        repl.update(approx_binning=False)
+    return (dataclasses.replace(system.cfg.renderer, **repl)
+            if repl else system.cfg.renderer)
 
 
 def run_test(cfg, system, args) -> None:
@@ -258,16 +267,35 @@ def run_test(cfg, system, args) -> None:
 
     test_option = cfg.system.get("test_option", "testset")
     n_frame = system.cfg.n_frame
+    rc = cfg.data.get("random_camera", {}) or {}
+
+    def _eval_opt(key, default):
+        # eval knobs live in data.random_camera in the reference's vis
+        # configs (visualize_*_frame_16.yaml:27-39); a top-level data.<key>
+        # override wins
+        return cfg.data.get(key, rc.get(key, default))
+
     if test_option == "four_view":
-        cams = fixed_view_cameras(height=cfg.data.get("height", 256),
-                                  width=cfg.data.get("width", 256),
+        eval_h = cfg.data.get("eval_height", cfg.data.get("height", 256))
+        eval_w = cfg.data.get("eval_width", cfg.data.get("width", 256))
+        cams = fixed_view_cameras(height=eval_h, width=eval_w,
                                   total_frame=n_frame)
     else:
-        cams = testset_grid_cameras(total_frame=n_frame)
+        kwargs = {}
+        if _eval_opt("eval_elevation_deg", None) is not None:
+            kwargs["elevations_deg"] = tuple(_eval_opt("eval_elevation_deg", ()))
+        if _eval_opt("eval_azimuth_deg", None) is not None:
+            kwargs["azimuth_sets_deg"] = tuple(
+                tuple(s) for s in _eval_opt("eval_azimuth_deg", ()))
+        eval_h = _eval_opt("eval_height", 512)
+        eval_w = _eval_opt("eval_width", 512)
+        cams = testset_grid_cameras(height=eval_h, width=eval_w,
+                                    total_frame=n_frame, **kwargs)
 
     gs_cams = gs_cameras_from_batch(cams)
     out = system.render(gs_cams, cams["timestamps"],
-                        renderer_cfg=_eval_renderer_cfg(cfg, system))
+                        renderer_cfg=_eval_renderer_cfg(
+                            cfg, system, height=eval_h, width=eval_w))
     saver = Saver(os.path.join(cfg.trial_dir, "save"))
     n_views = out.rgb.shape[0] // n_frame
     rgb = np.asarray(out.rgb).reshape(n_views, n_frame, *out.rgb.shape[1:])
@@ -325,13 +353,14 @@ def run_validate(cfg, system, args) -> None:
 
     _restore_for_eval(cfg, system, "validate")
     n_frame = system.cfg.n_frame
+    eval_h = cfg.data.get("eval_height", 512)
+    eval_w = cfg.data.get("eval_width", 512)
     cams = val_orbit_cameras(
         n_views=int(cfg.data.get("n_val_views", 120)),
-        height=cfg.data.get("eval_height", 512),
-        width=cfg.data.get("eval_width", 512),
-        total_frame=n_frame)
+        height=eval_h, width=eval_w, total_frame=n_frame)
     out = system.render(gs_cameras_from_batch(cams), cams["timestamps"],
-                        renderer_cfg=_eval_renderer_cfg(cfg, system))
+                        renderer_cfg=_eval_renderer_cfg(
+                            cfg, system, height=eval_h, width=eval_w))
     saver = Saver(os.path.join(cfg.trial_dir, "save"))
     rgb = np.asarray(out.rgb)
     saver.mp4("videos/val_orbit.mp4", rgb)

@@ -234,16 +234,30 @@ def val_orbit_cameras(
 
 
 def testset_grid_cameras(
-    elevations_deg: Tuple[float, ...] = (0.0, 15.0, 30.0),
-    azimuths_deg: Tuple[float, ...] = (0.0, 90.0, 180.0, 270.0),
+    elevations_deg: Tuple[float, ...] = (15.0, 0.0, 30.0),
+    azimuth_sets_deg: Tuple[Tuple[float, ...], ...] = (
+        (0.0, 90.0, 180.0, 270.0),
+        (30.0, 120.0, 210.0, 300.0),
+        (-45.0, 45.0, 135.0, 225.0),
+    ),
     distance: float = 3.0,
     fovy_deg: float = 40.0,
     height: int = 512,
     width: int = 512,
     total_frame: int = 16,
 ) -> Dict[str, np.ndarray]:
-    """3-elevation × 4-azimuth evaluation grid (uncond_hybrid.py:560-700)."""
-    views = [(e, a) for e in elevations_deg for a in azimuths_deg]
+    """3-elevation × 4-azimuth evaluation grid — the paper-metrics render
+    surface. Each elevation is paired with its OWN azimuth set (reference
+    uncond_hybrid.py:576-580: ``azimuth = eval_azimuth_deg.reshape(-1)``,
+    ``elevation = eval_elevation_deg.repeat_interleave(len(sets[0]))`` —
+    NOT a Cartesian product), defaults from
+    visualize_testset_frame_16.yaml:38-39."""
+    if len(azimuth_sets_deg) != len(elevations_deg):
+        raise ValueError(
+            f"eval_azimuth_deg needs one azimuth set per elevation "
+            f"({len(elevations_deg)} elevations, {len(azimuth_sets_deg)} sets)")
+    views = [(e, a) for e, s in zip(elevations_deg, azimuth_sets_deg)
+             for a in s]
     elev = np.repeat(np.asarray([v[0] for v in views]), total_frame)
     azim = np.repeat(np.asarray([v[1] for v in views]), total_frame)
     n = len(views) * total_frame

@@ -92,3 +92,26 @@ def test_mvp_matrix_roundtrip():
     # origin must land at ndc x,y = 0
     h = mvp[0] @ np.array([0, 0, 0, 1.0])
     np.testing.assert_allclose(h[:2] / h[3], [0, 0], atol=1e-5)
+
+
+def test_testset_grid_pairs_elevation_with_its_own_azimuth_set():
+    """The paper-metrics grid pairs elevation i with azimuth-set i
+    (uncond_hybrid.py:576-580 reshape/repeat_interleave), NOT a Cartesian
+    product; defaults mirror visualize_testset_frame_16.yaml:38-39."""
+    from animate3d_tpu.data.cameras import testset_grid_cameras
+
+    F = 2
+    batch = testset_grid_cameras(total_frame=F, height=8, width=8)
+    elev = batch["elevation"][::F]
+    azim = batch["azimuth"][::F]
+    assert len(elev) == 12
+    np.testing.assert_allclose(elev, [15.0] * 4 + [0.0] * 4 + [30.0] * 4)
+    np.testing.assert_allclose(
+        azim, [0, 90, 180, 270, 30, 120, 210, 300, -45, 45, 135, 225])
+    # one timestamp sweep per view
+    np.testing.assert_allclose(batch["timestamps"][:F],
+                               np.linspace(-1.0, 1.0, F))
+
+    with pytest.raises(ValueError):
+        testset_grid_cameras(elevations_deg=(0.0, 15.0),
+                             azimuth_sets_deg=((0.0,),))

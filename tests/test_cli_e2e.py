@@ -219,3 +219,38 @@ def test_refine_stage_chaining_and_guidance(workspace, tmp_path):
     # after 1 step of lr<=1e-2 the params stay near the recon solution
     assert np.abs(ra - fa).max() < 0.05
     assert np.abs(ra).max() > 0  # recon actually trained something
+
+
+def test_launch_test_testset_grid(workspace):
+    """test_option=testset renders the paper-metrics 3-elevation grid, each
+    elevation paired with its own azimuth set (visualize_testset_frame_16
+    semantics); eval size comes from eval_height/eval_width."""
+    root, cfg_path = workspace
+    from animate3d_tpu.cli.launch import main
+
+    main(["--config", str(cfg_path), "--test",
+          "name=e2e_testset", "system.test_option=testset",
+          "system.save_gaussian_trajectory=false",
+          "data.eval_height=16", "data.eval_width=16"])
+    trial = root / "outputs" / "e2e_testset" / "t"
+    imgs = os.listdir(trial / "save" / "images")
+    assert len(imgs) == 12 * N_FRAME  # 3 elevations x 4 azimuths
+    from PIL import Image
+
+    im = Image.open(trial / "save" / "images" / imgs[0])
+    assert im.size == (16, 16)
+
+
+def test_visualize_configs_parse():
+    """The two reference-mirroring vis configs ship with the repo and carry
+    the reference's eval semantics (visualize_*_frame_16.yaml)."""
+    from animate3d_tpu.core.config import load_config
+
+    four = load_config("configs/animate3d/visualize_four_view_frame_16.yaml")
+    assert four.system["test_option"] == "four_view"
+    assert four.data["eval_height"] == 1024
+    grid = load_config("configs/animate3d/visualize_testset_frame_16.yaml")
+    assert grid.system["test_option"] == "testset"
+    sets = grid.data["random_camera"]["eval_azimuth_deg"]
+    assert len(sets) == 3 and list(grid.data["random_camera"]
+                                   ["eval_elevation_deg"]) == [15.0, 0.0, 30.0]
