@@ -405,21 +405,125 @@ def bench_trainer_step(n_views: int = 4, n_frames: int = 16,
     return (time.perf_counter() - t0) / iters
 
 
-def main() -> None:
+def _configure_jax_cache() -> None:
     import jax
 
+    from animate3d_tpu.core.runtime import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_animate3d_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-    denoise, denoise_tflops, denoise_mfu = bench_denoise_step()
-    raster_fps = bench_raster_fps()
-    recon = bench_recon_step()
-    refine = bench_refine_step()
-    trainer = bench_trainer_step()
-    quality_psnr = bench_recon_quality()
-    binning = bench_binning_quality()
 
-    pipeline_min = (75 * denoise + 800 * recon + 200 * refine
+_SECTION_MARK = "BENCH_SECTION "
+
+# name → (runner returning a flat dict of extras, timeout seconds).  Timeouts
+# cover a COLD compile of each program on this host (full-UNet programs take
+# 10-25+ min to compile; warm runs hit /tmp/jax_cache_animate3d_tpu).
+def _section_specs():
+    return {
+        "denoise": (lambda: dict(zip(
+            ("mvvdm_sec_per_denoise_step", "mvvdm_achieved_tflops",
+             "mvvdm_mfu"),
+            (lambda s, t, m: (round(s, 4), round(t, 1), round(m, 4)))(
+                *bench_denoise_step()))), 3300),
+        "recon": (lambda: {"recon_sec_per_step":
+                           round(bench_recon_step(), 4)}, 2400),
+        "refine": (lambda: {"refine_sec_per_step":
+                            round(bench_refine_step(), 4)}, 3600),
+        "trainer": (lambda: {"mvvdm_trainer_sec_per_step":
+                             round(bench_trainer_step(), 4)}, 3600),
+        "raster": (lambda: {"raster_fps_512":
+                            round(bench_raster_fps(), 1)}, 1500),
+        "quality": (lambda: {"recon_synthetic_gt_psnr":
+                             round(bench_recon_quality(), 2)}, 2400),
+        "binning": (bench_binning_quality, 1800),
+    }
+
+
+def run_section(name: str) -> None:
+    """Child-process entry: run ONE bench section and print its extras as a
+    marked JSON line (isolates tunnel stalls / OOMs to the section)."""
+    _configure_jax_cache()
+    if name == "ping":
+        import jax.numpy as jnp
+
+        out = {"ping_ok": float(jnp.ones((8, 8)).sum())}
+    else:
+        out = _section_specs()[name][0]()
+    print(_SECTION_MARK + json.dumps(out), flush=True)
+
+
+def _run_section_subprocess(name: str, timeout: float):
+    """(extras dict | None). Retries once; a hang/crash loses only this
+    section instead of the whole benchmark run."""
+    import os
+    import subprocess
+    import sys
+
+    for attempt in (1, 2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--section", name],
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+        except subprocess.TimeoutExpired:
+            print(f"[bench] section {name} attempt {attempt}: "
+                  f"timeout after {timeout:.0f}s", flush=True)
+            continue
+        for line in reversed(proc.stdout.splitlines()):
+            if line.startswith(_SECTION_MARK):
+                return json.loads(line[len(_SECTION_MARK):])
+        tail = (proc.stderr or proc.stdout).strip().splitlines()[-3:]
+        print(f"[bench] section {name} attempt {attempt}: rc={proc.returncode} "
+              f"no result; tail={tail}", flush=True)
+    return None
+
+
+def main() -> None:
+    import os
+    import sys
+
+    if "--section" in sys.argv:
+        run_section(sys.argv[sys.argv.index("--section") + 1])
+        return
+
+    # tunnel preflight: fail FAST (minutes, not hours) when the device is
+    # unreachable, instead of hanging inside the first section
+    for attempt in range(3):
+        if _run_section_subprocess("ping", timeout=240) is not None:
+            break
+        time.sleep(45)
+    else:
+        print("[bench] device unreachable (3 ping attempts) — aborting",
+              file=sys.stderr)
+        sys.exit(1)
+
+    only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
+    extra: dict = {}
+    missing = []
+    for name, (_, timeout) in _section_specs().items():
+        if only and name not in only:
+            continue
+        res = _run_section_subprocess(name, timeout)
+        if res is None:
+            missing.append(name)
+        else:
+            extra.update(res)
+
+    have = all(k in extra for k in ("mvvdm_sec_per_denoise_step",
+                                    "recon_sec_per_step",
+                                    "refine_sec_per_step"))
+    if missing:
+        print(f"[bench] sections without results: {missing}", file=sys.stderr)
+    if not have:
+        print("[bench] headline components missing; partial extras: "
+              + json.dumps(extra), file=sys.stderr)
+        sys.exit(1)
+
+    pipeline_min = (75 * extra["mvvdm_sec_per_denoise_step"]
+                    + 800 * extra["recon_sec_per_step"]
+                    + 200 * extra["refine_sec_per_step"]
                     + FIXED_OVERHEAD_SEC) / 60.0
     print(json.dumps({
         "metric": "two_stage_pipeline_minutes",
@@ -427,17 +531,7 @@ def main() -> None:
         "unit": "min (75 denoise + 800 recon + 200 refine steps + 30s glue; "
                 "reference claims 15 min total on a >=24GB GPU)",
         "vs_baseline": round(BASELINE_MINUTES / pipeline_min, 3),
-        "extra": {
-            "mvvdm_sec_per_denoise_step": round(denoise, 4),
-            "mvvdm_achieved_tflops": round(denoise_tflops, 1),
-            "mvvdm_mfu": round(denoise_mfu, 4),
-            "recon_sec_per_step": round(recon, 4),
-            "refine_sec_per_step": round(refine, 4),
-            "mvvdm_trainer_sec_per_step": round(trainer, 4),
-            "raster_fps_512": round(raster_fps, 1),
-            "recon_synthetic_gt_psnr": round(quality_psnr, 2),
-            **binning,
-        },
+        "extra": extra,
     }))
 
 
