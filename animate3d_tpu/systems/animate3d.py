@@ -64,6 +64,15 @@ class Animate3DConfig:
     n_frame: int = 16
     progressive_iter_per_frame: int = 50
     sample_strategy: str = "normal"  # normal | light
+    # render only the progressively-unlocked frames, padded up to a
+    # power-of-two bucket so at most log2(n_frame) programs compile — the
+    # reference builds its batch from the selected frames only
+    # (animate3d.py:134-165); rendering locked frames is pure waste (their
+    # loss weight is 0). ~33% less raster work over an 800-step recon; the
+    # 200-step refine never unlocks past 6 frames (fresh global_step +
+    # progressive_iter_per_frame=50, refine_frame_16.yaml:45) so its 1024²
+    # recon renders drop 64 → ≤32 per step.
+    frame_bucketing: bool = True
     load_guidance: bool = False
     # geometry load (load_ply_cfg)
     geometry_convert_from: str = ""
@@ -198,6 +207,7 @@ class Animate3DSystem:
             n_frame=sys_cfg.get("n_frame", 16),
             progressive_iter_per_frame=sys_cfg.get("progressive_iter_per_frame", 50),
             sample_strategy=sys_cfg.get("sample_strategy", "normal"),
+            frame_bucketing=sys_cfg.get("frame_bucketing", True),
             load_guidance=sys_cfg.get("load_guidance", False),
             geometry_convert_from=geo.get("geometry_convert_from", ""),
             rot_x_degree=load_ply.get("rot_x_degree", 0.0),
@@ -460,6 +470,14 @@ class Animate3DSystem:
 
     # -- public ---------------------------------------------------------------
 
+    @staticmethod
+    def _is_multi_device(x) -> bool:
+        s = getattr(x, "sharding", None)
+        try:
+            return s is not None and len(s.device_set) > 1
+        except Exception:
+            return False
+
     def step(self, batch: Dict[str, Any], key: jax.Array,
              guidance_batch: Optional[Dict[str, Any]] = None) -> Dict[str, float]:
         cfg = self.cfg
@@ -491,6 +509,33 @@ class Animate3DSystem:
             rgb = jnp.asarray(rgb)[item_idx]
             mask = jnp.asarray(mask)[item_idx]
             frame_w = np.ones((len(active),), np.float32)
+        elif (cfg.sample_strategy == "normal" and cfg.frame_bucketing
+                and not self._is_multi_device(rgb)):
+            # render only the unlocked frames, padded to a power-of-two
+            # bucket (≤ log2(n_frame) compiled programs); pad slots repeat
+            # the last active frame with weight 0 so the loss, its
+            # normalization (wsum = #active), and the ARAP energy are
+            # identical to the full-batch program. The reference renders
+            # exactly the selected subset (animate3d.py:134-165). Skipped on
+            # multi-device batches — a subset gather would break the even
+            # dp sharding of the uploaded GT planes.
+            active = np.nonzero(frame_w)[0]
+            bucket = 2
+            while bucket < len(active):
+                bucket *= 2
+            if bucket <= cfg.n_frame // 2:
+                pad = np.full(bucket - len(active), active[-1], np.int64)
+                active_p = np.concatenate([active, pad])
+                item_idx = np.concatenate(
+                    [v * cfg.n_frame + active_p for v in range(cfg.n_view)])
+                cameras = jax.tree_util.tree_map(lambda x: x[item_idx], cameras)
+                timestamps = timestamps[item_idx]
+                rgb = jnp.asarray(rgb)[item_idx]
+                mask = jnp.asarray(mask)[item_idx]
+                frame_w = np.concatenate(
+                    [frame_w[active], np.zeros(len(pad), np.float32)])
+            else:
+                frame_w = np.asarray(frame_w)
         else:
             frame_w = np.asarray(frame_w)
 

@@ -216,7 +216,12 @@ def _make_recon_system(n, res, n_view, n_frame, progressive_done=True):
 
 
 def bench_recon_step(n: int = 20000, res: int = 256, n_view: int = 4,
-                     n_frame: int = 16) -> float:
+                     n_frame: int = 16) -> dict:
+    """Recon step cost over the progressive schedule. Early steps render
+    only the unlocked frames padded to a power-of-two bucket (frame
+    bucketing, animate3d.py:134-165 reference parity), so the true 800-step
+    cost is the schedule-weighted average of the bucket phases:
+    steps 0-99 → 2 frames, 100-199 → 4, 200-399 → 8, 400-799 → all 16."""
     import jax
 
     system, cams, gs_cams = _make_recon_system(n, res, n_view, n_frame)
@@ -230,14 +235,29 @@ def bench_recon_step(n: int = 20000, res: int = 256, n_view: int = 4,
         "mask": jax.numpy.asarray(
             np.ones((n_view * n_frame, res, res, 1), np.float32)),
     }
-    m = system.step(batch, jax.random.PRNGKey(0))  # compile + warmup
-    jax.block_until_ready(m)
-    t0 = time.perf_counter()
-    iters = 4
-    for i in range(iters):
-        m = system.step(batch, jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(m)  # steps are async now — block once at the end
-    return (time.perf_counter() - t0) / iters
+
+    def measure(gstep: int, iters: int = 4) -> float:
+        system.global_step = gstep
+        m = system.step(batch, jax.random.PRNGKey(0))  # compile + warmup
+        jax.block_until_ready(m)
+        system.global_step = gstep
+        t0 = time.perf_counter()
+        for i in range(iters):
+            m = system.step(batch, jax.random.PRNGKey(i + 1))
+        jax.block_until_ready(m)  # steps are async — block once at the end
+        return (time.perf_counter() - t0) / iters
+
+    ipf = system.cfg.progressive_iter_per_frame  # 50
+    full = measure(ipf * n_frame + 1)
+    t2 = measure(ipf + 10)       # 2 active frames → bucket 2
+    t4 = measure(3 * ipf + 10)   # 4 active → bucket 4
+    t8 = measure(7 * ipf + 10)   # 8 active → bucket 8
+    avg = (100 * t2 + 100 * t4 + 200 * t8 + 400 * full) / 800.0
+    return {
+        "recon_sec_per_step": round(full, 4),
+        "recon_bucket_sec_per_step": [round(t, 4) for t in (t2, t4, t8)],
+        "recon_schedule_avg_sec_per_step": round(avg, 4),
+    }
 
 
 def bench_recon_quality(n: int = 4000, res: int = 128, n_view: int = 4,
@@ -319,7 +339,12 @@ def bench_refine_step(n: int = 20000, recon_res: int = 1024,
     state = random_state(jax.random.PRNGKey(0), n, radius=0.4)
     system = Animate3DSystem(acfg, state=state, guidance=guidance,
                              guidance_inputs=ginputs)
-    system.global_step = acfg.progressive_iter_per_frame * n_frame + 1
+    # measure at the END of the 200-step refine schedule: the reference's
+    # refine starts a fresh global_step with progressive_iter_per_frame=50
+    # (refine_frame_16.yaml:45,191), so its recon branch never renders more
+    # than 200//50+1 = 5 unlocked frames per view — with frame bucketing
+    # that is 8 frames (32 renders @1024²), the true worst step of the run
+    system.global_step = 199
 
     cams = fixed_view_cameras(height=recon_res, width=recon_res,
                               total_frame=n_frame)
@@ -427,8 +452,7 @@ def _section_specs():
              "mvvdm_mfu"),
             (lambda s, t, m: (round(s, 4), round(t, 1), round(m, 4)))(
                 *bench_denoise_step()))), 3300),
-        "recon": (lambda: {"recon_sec_per_step":
-                           round(bench_recon_step(), 4)}, 2400),
+        "recon": (bench_recon_step, 3000),
         "refine": (lambda: {"refine_sec_per_step":
                             round(bench_refine_step(), 4)}, 3600),
         "trainer": (lambda: {"mvvdm_trainer_sec_per_step":
@@ -521,8 +545,10 @@ def main() -> None:
               + json.dumps(extra), file=sys.stderr)
         sys.exit(1)
 
+    recon_avg = extra.get("recon_schedule_avg_sec_per_step",
+                          extra["recon_sec_per_step"])
     pipeline_min = (75 * extra["mvvdm_sec_per_denoise_step"]
-                    + 800 * extra["recon_sec_per_step"]
+                    + 800 * recon_avg
                     + 200 * extra["refine_sec_per_step"]
                     + FIXED_OVERHEAD_SEC) / 60.0
     print(json.dumps({

@@ -216,3 +216,77 @@ def test_render_api(setup):
     out = sys.render(gs_cams, cams["timestamps"])
     assert out.rgb.shape == (N_VIEW * N_FRAME, RES, RES, 3)
     assert out.means3d.shape[0] == N_VIEW * N_FRAME
+
+
+def test_frame_bucketing_matches_full_batch(setup):
+    """Bucketed rendering (only unlocked frames, padded to a power-of-two
+    bucket) must produce the same loss and parameter update as the full
+    static batch — the pad slots carry weight 0 and wsum counts only active
+    frames, so the programs are mathematically identical (reference renders
+    exactly the selected subset, animate3d.py:134-165)."""
+    state, cams, gs_cams, rcfg, gt = setup
+
+    n_frame = 8
+    cams8 = fixed_view_cameras(azimuths_deg=(0.0, 120.0), height=RES,
+                               width=RES, total_frame=n_frame)
+    gs_cams8 = gs_cameras_from_batch(cams8)
+    rng = np.random.default_rng(3)
+    batch = {
+        "gs_cameras": gs_cams8,
+        "timestamps": cams8["timestamps"],
+        "rgb": rng.uniform(size=(N_VIEW * n_frame, RES, RES, 3)).astype(np.float32),
+        "mask": np.ones((N_VIEW * n_frame, RES, RES, 1), np.float32),
+    }
+
+    def build(bucketing):
+        import dataclasses
+
+        import optax
+
+        cfg = Animate3DConfig(
+            n_view=N_VIEW, n_frame=n_frame, progressive_iter_per_frame=50,
+            frame_bucketing=bucketing,
+            deform=DeformConfig(grid_sizes=((12, 12, 12, 4),), grid_feature_dim=8),
+            # the 10% straight-through gaussian mask is drawn per rendered
+            # item, so its realization depends on batch size — disable it
+            # for bitwise gradient comparison (both variants sample the same
+            # distribution in production, as the reference does per item)
+            renderer=dataclasses.replace(rcfg, straight_through_prob=0.0),
+            loss=LossConfig(lambda_rgb=100.0, lambda_mask=10.0, lambda_arap=1.0,
+                            arap_K=3, arap_sample_num=64),
+        )
+        s = Animate3DSystem(cfg, state=state, key=jax.random.PRNGKey(1))
+        # SGD(1.0) so param delta == −gradient: Adam's eps=1e-15 turns
+        # reduction-order noise on exactly-zero grads into full ±lr steps,
+        # which is optimizer sensitivity, not a bucketing difference
+        s.tx = optax.sgd(1.0)
+        s.opt_state = s.tx.init(s.params)
+        return s
+
+    seen_items = {}
+    results = {}
+    for bucketing in (False, True):
+        sys_ = build(bucketing)
+        sys_.global_step = 60  # 2 active frames -> bucket 2 (vs 8 full)
+        orig = sys_._train_step
+
+        def spy(params, opt_state, cameras, timestamps, *a, _o=orig, _b=bucketing, **k):
+            seen_items[_b] = timestamps.shape[0]
+            return _o(params, opt_state, cameras, timestamps, *a, **k)
+
+        sys_._train_step = spy
+        m = sys_.step(batch, jax.random.PRNGKey(9))
+        results[bucketing] = (jax.tree_util.tree_map(np.asarray, dict(m)),
+                              jax.tree_util.tree_map(np.asarray, sys_.params))
+
+    assert seen_items[True] == N_VIEW * 2
+    assert seen_items[False] == N_VIEW * n_frame
+    m_full, p_full = results[False]
+    m_bkt, p_bkt = results[True]
+    for k in ("loss", "loss_rgb", "loss_mask", "psnr", "loss_arap"):
+        np.testing.assert_allclose(m_bkt[k], m_full[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=k)
+    # with SGD(1.0), params_after − params_init == −grads: gradient parity
+    for a, b in zip(jax.tree_util.tree_leaves(p_full),
+                    jax.tree_util.tree_leaves(p_bkt)):
+        np.testing.assert_allclose(b, a, rtol=1e-3, atol=1e-6)
