@@ -205,20 +205,34 @@ class MVSampler:
         return latents
 
 
+@functools.lru_cache(maxsize=8)
+def _decode_video_jit(vae_decode: Callable, frame_chunk: int, scaling: float):
+    @jax.jit
+    def run(vae_params, latents):
+        bn, f, h, w, c = latents.shape
+        flat = (latents / scaling).reshape(bn * f, h, w, c)
+        n = flat.shape[0]
+        pad = (-n) % frame_chunk
+        flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        chunks = flat.reshape(-1, frame_chunk, h, w, c)
+        imgs = jax.lax.map(lambda z: vae_decode(vae_params, z), chunks)
+        imgs = imgs.reshape((-1,) + imgs.shape[2:])[:n]
+        imgs = (imgs / 2 + 0.5).clip(0.0, 1.0)
+        return imgs.reshape(bn, f, imgs.shape[1], imgs.shape[2], 3)
+
+    return run
+
+
 def decode_video(vae_decode: Callable, vae_params, latents: jnp.ndarray,
                  scaling: float = 0.18215, frame_chunk: int = 16) -> jnp.ndarray:
     """(BN, F, h, w, C) latents → (BN, F, H, W, 3) images in [0, 1]
-    (pipeline.py:565-577; 'VAE slicing' becomes a lax.map chunk)."""
-    bn, f, h, w, c = latents.shape
-    flat = (latents / scaling).reshape(bn * f, h, w, c)
-    n = flat.shape[0]
-    pad = (-n) % frame_chunk
-    flat = jnp.pad(flat, ((0, pad), (0, 0), (0, 0), (0, 0)))
-    chunks = flat.reshape(-1, frame_chunk, h, w, c)
-    imgs = jax.lax.map(lambda z: vae_decode(vae_params, z), chunks)
-    imgs = imgs.reshape((-1,) + imgs.shape[2:])[:n]
-    imgs = (imgs / 2 + 0.5).clip(0.0, 1.0)
-    return imgs.reshape(bn, f, imgs.shape[1], imgs.shape[2], 3)
+    (pipeline.py:565-577; 'VAE slicing' becomes a lax.map chunk).
+
+    The whole decode runs as ONE jit program (cached per decode-fn/chunk):
+    eagerly, lax.map plus the pad/scale/clip glue dispatches per-op through
+    the device tunnel, which dominated the measured decode wall-clock."""
+    return _decode_video_jit(vae_decode, frame_chunk, scaling)(
+        vae_params, latents)
 
 
 def encode_conditioning_images(vae_encode: Callable, vae_params,
