@@ -526,12 +526,21 @@ class Animate3DSystem:
             if bucket <= cfg.n_frame // 2:
                 pad = np.full(bucket - len(active), active[-1], np.int64)
                 active_p = np.concatenate([active, pad])
-                item_idx = np.concatenate(
-                    [v * cfg.n_frame + active_p for v in range(cfg.n_view)])
-                cameras = jax.tree_util.tree_map(lambda x: x[item_idx], cameras)
-                timestamps = timestamps[item_idx]
-                rgb = jnp.asarray(rgb)[item_idx]
-                mask = jnp.asarray(mask)[item_idx]
+                # indices only change at 50-step phase boundaries; cache the
+                # gathered subset so steady steps skip the per-step gather
+                # dispatches (the GT batch is uploaded once and reused)
+                ck = (active_p.tobytes(), id(batch["rgb"]), id(batch["mask"]))
+                if getattr(self, "_bucket_cache_key", None) != ck:
+                    item_idx = np.concatenate(
+                        [v * cfg.n_frame + active_p for v in range(cfg.n_view)])
+                    self._bucket_cache_key = ck
+                    self._bucket_cache = (
+                        jax.tree_util.tree_map(lambda x: x[item_idx], cameras),
+                        timestamps[item_idx],
+                        jnp.asarray(rgb)[item_idx],
+                        jnp.asarray(mask)[item_idx],
+                    )
+                cameras, timestamps, rgb, mask = self._bucket_cache
                 frame_w = np.concatenate(
                     [frame_w[active], np.zeros(len(pad), np.float32)])
             else:
