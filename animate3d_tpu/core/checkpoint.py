@@ -94,6 +94,35 @@ def load_flax_bundle(bundle_dir: str, templates: Dict[str, Any]) -> Dict[str, An
     return out
 
 
+def graft_params(template: Dict[str, Any], subset: Dict[str, Any],
+                 _path: str = "") -> tuple:
+    """Deep-merge a partial param tree (e.g. a motion-modules-only export)
+    onto a full template; returns (merged, n_leaves_grafted). Every subset
+    leaf must exist in the template with the same shape — a mismatch means
+    the checkpoint belongs to a different architecture."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    merged = dict(template)
+    n = 0
+    for k, v in subset.items():
+        where = f"{_path}/{k}"
+        if k not in merged:
+            raise KeyError(f"graft_params: {where!r} not in the model tree")
+        if isinstance(v, dict):
+            merged[k], sub_n = graft_params(merged[k], v, where)
+            n += sub_n
+        else:
+            tpl = merged[k]
+            if tuple(np.shape(tpl)) != tuple(np.shape(v)):
+                raise ValueError(
+                    f"graft_params: shape mismatch at {where!r}: "
+                    f"{np.shape(v)} vs model {np.shape(tpl)}")
+            merged[k] = jnp.asarray(v, tpl.dtype)
+            n += 1
+    return merged, n
+
+
 def extract_motion_modules(params: Dict[str, Any]) -> Dict[str, Any]:
     """Subtree of trained keys only (motion modules + adapters) — the
     release-checkpoint export (save_motion_modules parity)."""

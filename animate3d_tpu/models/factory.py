@@ -96,7 +96,39 @@ def init_and_load(unet, vae, text_model, vision_model, args_H, args_W, args_N,
         loaded = set(bundle)
         print(f"[weights] loaded {sorted(loaded)} from {flax_params_dir}")
 
-    if pretrained_unet_path and os.path.exists(pretrained_unet_path):
+    if pretrained_unet_path and os.path.isdir(pretrained_unet_path):
+        # motion-modules export from OUR trainer (orbax dir written by
+        # cli/train_mvvdm.py; either .../motion_modules or a step_N inside
+        # it) — the train → sample round trip without any torch detour
+        from animate3d_tpu.core.checkpoint import (
+            find_latest_checkpoint,
+            graft_params,
+            restore_checkpoint_raw,
+        )
+
+        path = pretrained_unet_path
+        if not os.path.basename(path).startswith("step_"):
+            latest = find_latest_checkpoint(path)
+            if latest is None:
+                raise FileNotFoundError(
+                    f"--pretrained_unet_path {path!r}: no step_N checkpoint")
+            path = latest
+        raw = restore_checkpoint_raw(path)
+        # the export stores the subset of the flax-inner params tree
+        # (cli/train_mvvdm.py: extract_motion_modules(params["params"]));
+        # tolerate an extra {"params": ...} wrapper level
+        sub = raw.get("params", raw)
+        if isinstance(sub, dict) and set(sub) == {"params"}:
+            sub = sub["params"]
+        inner, n_grafted = graft_params(
+            unet_params.get("params", unet_params), sub)
+        unet_params = (dict(unet_params, params=inner)
+                       if "params" in unet_params else inner)
+        loaded.add("motion_ckpt")
+        print(f"[weights] motion modules grafted from {path} "
+              f"({n_grafted} tensors; base UNet keys keep their init/bundle "
+              f"values — strict=False parity, inference.py:214-223)")
+    elif pretrained_unet_path and os.path.exists(pretrained_unet_path):
         from animate3d_tpu.convert.torch_to_flax import (
             load_animate3d_motion_checkpoint,
         )

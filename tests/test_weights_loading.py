@@ -135,3 +135,30 @@ def test_inference_cli_mesh_sp_matches_local(tmp_path, cond_images):
     assert frames_sp.shape == frames_local.shape
     diff = np.abs(frames_local.astype(np.int32) - frames_sp.astype(np.int32))
     assert diff.mean() <= 12.0, diff.mean()
+
+
+def test_inference_cli_loads_trainer_motion_export(tmp_path, cond_images):
+    """Round trip: the motion-modules-only orbax export written by OUR
+    trainer (cli/train_mvvdm.py save_motion_modules parity) must load into
+    the inference CLI via --pretrained_unet_path — train → sample without a
+    torch detour. Grafted motion params must change the output; base UNet
+    keys keep their init (strict=False parity, inference.py:214-223)."""
+    from animate3d_tpu.cli.inference import build_models
+    from animate3d_tpu.core.checkpoint import (
+        extract_motion_modules,
+        save_checkpoint,
+    )
+
+    unet, _, _, _ = _tiny_models()
+    donor = _init_unet(unet, seed=5)
+    # exactly the trainer's export format (cli/train_mvvdm.py:315-318)
+    motion = extract_motion_modules(donor["params"])
+    assert jax.tree_util.tree_leaves(motion), "tiny UNet must have motion keys"
+    save_checkpoint(str(tmp_path / "motion_modules"), 7, {"params": motion})
+
+    frames_plain = _run_inference(tmp_path / "out_plain", cond_images)
+    frames_motion = _run_inference(
+        tmp_path / "out_motion", cond_images,
+        extra_argv=("--pretrained_unet_path",
+                    str(tmp_path / "motion_modules")))
+    assert not np.array_equal(frames_plain, frames_motion)
