@@ -47,7 +47,7 @@ def main(argv=None) -> None:
         make_optimizer,
         make_train_step,
     )
-    from animate3d_tpu.utils.logging import MetricsLogger, StepTimer
+    from animate3d_tpu.utils.logging import MetricsLogger
 
     out_dir = cfg.get("output_dir", "outputs/mvvdm")
     os.makedirs(out_dir, exist_ok=True)
@@ -154,7 +154,15 @@ def main(argv=None) -> None:
         start_step = int(restored["step"])
         print(f"[resume] {latest} @ step {start_step}")
 
+    # background prefetch: host decodes the next batches while the device
+    # runs the current step (reference: 32-worker DataLoader,
+    # train.py:391-410); prefetch_depth: 0 disables
+    from animate3d_tpu.data.video_dataset import Prefetcher
+
     it = dataset.iterate(batch_size=batch_size)
+    depth = int(cfg.get("prefetch_depth", 2))
+    if depth > 0:
+        it = Prefetcher(it, depth=depth)
 
     # posterior *sample* (train.py:527 .sample() — not .mode(), which the
     # sampling pipeline uses for conditioning)
@@ -204,7 +212,6 @@ def main(argv=None) -> None:
         print("[ip] WARNING: no image encoder — zero image embeds (smoke mode)")
 
     logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
-    timer = StepTimer()
     key = jax.random.PRNGKey(cfg.get("global_seed", 42))
     ckpt_every = cfg.get("checkpointing_steps", 1000)
     validation_steps = cfg.get("validation_steps", 0)
@@ -255,6 +262,30 @@ def main(argv=None) -> None:
         print(f"[val] wrote {out}")
 
     null_text = jnp.zeros((batch_size * n_views, 77, ctx_dim))
+
+    # device-resident metrics, fetched at log cadence so the python loop
+    # dispatches ahead of the device instead of syncing every step (same
+    # pattern as the 4D loop; the per-step block cost a tunnel round-trip)
+    import time as _time
+
+    pending = []
+    log_every = int(cfg.get("log_every_n_steps", 10))
+
+    def flush():
+        if not pending:
+            return
+        jax.block_until_ready(pending[-1][1]["loss"])
+        window = max(_time.perf_counter() - flush.t0, 0.0) / len(pending)
+        for s, m in pending:
+            logger.log(s, {**{k: float(v) for k, v in m.items()},
+                           "sec_per_step": window})
+        s, m = pending[-1]
+        print(f"[{s}/{max_steps}] loss={float(m['loss']):.5f} "
+              f"({window:.2f}s/it avg)")
+        pending.clear()
+        flush.t0 = _time.perf_counter()
+
+    flush.t0 = _time.perf_counter()
     for step in range(start_step, max_steps):
         raw = next(it)
         b, n, f = raw["pixel_values"].shape[:3]
@@ -292,17 +323,14 @@ def main(argv=None) -> None:
         )
         batch = shard_batch(mesh, batch)
         key, sub = jax.random.split(key)
-        with timer:
-            unet_params, opt_state, metrics = train_step(unet_params, opt_state,
-                                                         batch, sub)
-            jax.block_until_ready(metrics["loss"])
-        logger.log(step, {**{k: float(v) for k, v in metrics.items()},
-                          "sec_per_step": timer.last})
-        if step % 10 == 0:
-            print(f"[{step}/{max_steps}] loss={float(metrics['loss']):.5f} "
-                  f"({timer.last:.2f}s/it)")
+        unet_params, opt_state, metrics = train_step(unet_params, opt_state,
+                                                     batch, sub)
+        pending.append((step, metrics))
+        if step % log_every == 0 or step + 1 == max_steps:
+            flush()
         if ((validation_steps and (step + 1) % validation_steps == 0)
                 or (step + 1) in validation_tuple):
+            flush()
             key, k_val = jax.random.split(key)
             run_validation(step + 1, unet_params, raw, k_val)
         if (step + 1) % ckpt_every == 0 or step + 1 == max_steps:

@@ -158,3 +158,43 @@ class MVideoDataset:
                     "cameras": np.stack([s["cameras"] for s in samples]),
                     "text": [s["text"] for s in samples],
                 }
+
+
+class Prefetcher:
+    """Background-thread prefetch over any batch iterator (the TPU-side
+    stand-in for the reference's 32-worker DataLoader, train.py:391-410):
+    the host decodes/assembles the next batches while the device runs the
+    current step. The native video decoder releases the GIL, so one thread
+    overlaps genuinely. ``depth`` bounds the queued batches."""
+
+    def __init__(self, it, depth: int = 2):
+        import queue
+        import threading
+
+        self._q = queue.Queue(maxsize=max(depth, 1))
+        self._sentinel = object()
+        self._err = None
+
+        def worker():
+            try:
+                for item in it:
+                    self._q.put(item)
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._sentinel)
+
+        self._t = threading.Thread(target=worker, daemon=True,
+                                   name="batch-prefetch")
+        self._t.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._sentinel:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
