@@ -174,6 +174,16 @@ def run_train(cfg, system, args) -> None:
                 "text_uncond": system.guidance_inputs.get("text_uncond"),
                 "image_embeds": system.guidance_inputs.get("image_embeds"),
             }
+            if mesh is not None:
+                from animate3d_tpu.parallel.mesh import shard_batch
+
+                # SDS batch renders + VAE encode split over dp (64
+                # view-frame items); the UNet part couples all of one
+                # video's views/frames through cross-view and temporal
+                # attention, so XLA gathers there — the per-item stages
+                # are where the refine step's raster/VAE time goes
+                for k in ("cameras", "timestamps", "c2w"):
+                    guidance_batch[k] = shard_batch(mesh, guidance_batch[k])
         metrics = system.step(batch, sub, guidance_batch=guidance_batch)
         pending.append((step, metrics))
         if step % log_every == 0 or step + 1 == max_steps:

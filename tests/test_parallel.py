@@ -180,3 +180,95 @@ def test_unet_forward_under_sp_ring_matches_local():
         ringed = unet.apply(params, lat, jnp.asarray(300.0), text, cam, ie)
     np.testing.assert_allclose(np.asarray(ringed), np.asarray(local),
                                atol=3e-5, rtol=1e-4)
+
+
+def test_refine_step_dp_sharded_guidance():
+    """Stage-2 under mesh_dp: the SDS guidance batch (renders + VAE encode,
+    the per-item stages) shards over dp along the view-frame axis and the
+    step matches the unsharded one (launch.py run_train shards
+    cameras/timestamps/c2w when trainer.mesh_dp is set)."""
+    import jax.numpy as jnp
+    from animate3d_tpu.data.cameras import fixed_view_cameras, gs_cameras_from_batch
+    from animate3d_tpu.gaussians.deform import DeformConfig
+    from animate3d_tpu.gaussians.state import random_state
+    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+    from animate3d_tpu.models.vae import AutoencoderKL, VAEConfig
+    from animate3d_tpu.pipelines.guidance import AnimateMVGuidance, GuidanceConfig
+    from animate3d_tpu.rendering.renderer4d import Renderer4DConfig
+    from animate3d_tpu.systems.animate3d import (
+        Animate3DConfig,
+        Animate3DSystem,
+        LossConfig,
+    )
+
+    n_view, n_frame, res = 4, 2, 32
+    ucfg = MVUNetConfig.tiny(num_views=n_view)
+    unet = MVMotionUNet(ucfg)
+    vae = AutoencoderKL(VAEConfig.tiny())
+    lat = jnp.zeros((n_view, n_frame, res // 2, res // 2, 4))
+    text = jnp.zeros((n_view, 7, ucfg.cross_attention_dim))
+    img0 = jnp.zeros((n_view, ucfg.image_embed_dim))
+    unet_params = jax.jit(unet.init)(jax.random.PRNGKey(0), lat,
+                                     jnp.asarray(0.0), text,
+                                     jnp.zeros((n_view, 16)), img0)
+    vae_params = jax.jit(vae.init)(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, res, res, 3)))
+
+    def unet_apply(p, l, t, c, cm, ie, i2v_cond_time_zero=False):
+        return unet.apply(p, l, t, c, cm, ie,
+                          i2v_cond_time_zero=i2v_cond_time_zero)
+
+    def vae_encode(p, x):
+        return vae.apply(p, x, method=AutoencoderKL.encode)
+
+    state = random_state(jax.random.PRNGKey(0), 50, radius=0.4)
+    cams = fixed_view_cameras(height=res, width=res, total_frame=n_frame)
+    gs_cams = gs_cameras_from_batch(cams)
+    rng = np.random.default_rng(0)
+    gt_rgb = rng.uniform(size=(n_view * n_frame, res, res, 3)).astype(np.float32)
+    gt_mask = np.ones((n_view * n_frame, res, res, 1), np.float32)
+
+    def run(sharded):
+        cfg = Animate3DConfig(
+            n_view=n_view, n_frame=n_frame, progressive_iter_per_frame=1,
+            load_guidance=True,
+            deform=DeformConfig(grid_sizes=((8, 8, 8, 3),), grid_feature_dim=4),
+            renderer=Renderer4DConfig(height=res, width=res, max_per_tile=32,
+                                      tile_chunk=4, view_chunk=8,
+                                      straight_through_prob=0.0),
+            loss=LossConfig(arap_K=3, arap_sample_num=32, lambda_sds=0.01),
+        )
+        system = Animate3DSystem(cfg, state=state, key=jax.random.PRNGKey(1),
+                                 guidance=AnimateMVGuidance(
+                                     unet_apply, vae_encode,
+                                     GuidanceConfig(n_view=n_view,
+                                                    n_frame=n_frame,
+                                                    image_size=res)),
+                                 guidance_inputs={"unet_params": unet_params,
+                                                  "vae_params": vae_params})
+        gb = {
+            "cameras": gs_cams,
+            "timestamps": jnp.asarray(cams["timestamps"]),
+            "c2w": jnp.asarray(cams["c2w"]),
+            "text_cond": text, "text_uncond": text, "image_embeds": img0,
+        }
+        batch = {"gs_cameras": gs_cams, "timestamps": cams["timestamps"],
+                 "rgb": gt_rgb, "mask": gt_mask}
+        if sharded:
+            mesh = make_mesh()
+            system.params = replicate(mesh, system.params)
+            system.opt_state = replicate(mesh, system.opt_state)
+            batch = dict(batch, gs_cameras=shard_batch(mesh, gs_cams),
+                         rgb=shard_batch(mesh, jnp.asarray(gt_rgb)),
+                         mask=shard_batch(mesh, jnp.asarray(gt_mask)))
+            for k in ("cameras", "timestamps", "c2w"):
+                gb[k] = shard_batch(mesh, gb[k])
+        m = system.step(batch, jax.random.PRNGKey(0), guidance_batch=gb)
+        return {k: float(v) for k, v in m.items()}
+
+    m_local = run(sharded=False)
+    m_dp = run(sharded=True)
+    assert np.isfinite(m_dp["loss"]) and np.isfinite(m_dp["loss_sds"])
+    for k in ("loss", "loss_sds", "loss_rgb"):
+        np.testing.assert_allclose(m_dp[k], m_local[k], rtol=2e-4, atol=1e-6,
+                                   err_msg=k)
