@@ -142,7 +142,16 @@ def main(argv=None) -> None:
 
     mesh = make_mesh()
     unet_params = replicate(mesh, unet_params)
-    opt_state = replicate(mesh, opt_state)
+    if cfg.get("zero_sharded_optimizer", False) and mesh.shape["dp"] > 1:
+        # ZeRO-1: Adam moments shard over dp (elementwise update — GSPMD
+        # slices the replicated grads and all-gathers the updated params);
+        # ~1/dp the optimizer memory, no numerics change
+        from animate3d_tpu.parallel.mesh import shard_leading_where_divisible
+
+        opt_state = shard_leading_where_divisible(mesh, opt_state)
+        print(f"[mesh] ZeRO-1 optimizer sharding over dp={mesh.shape['dp']}")
+    else:
+        opt_state = replicate(mesh, opt_state)
 
     ckpt_dir = os.path.join(out_dir, "checkpoints")
     start_step = 0

@@ -49,3 +49,22 @@ def shard_batch(mesh: Mesh, batch):
 def replicate(mesh: Mesh, tree):
     s = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), tree)
+
+
+def shard_leading_where_divisible(mesh: Mesh, tree):
+    """ZeRO-1-style placement: shard each leaf's leading axis over dp when
+    it divides evenly, replicate otherwise. Used for optimizer state — the
+    Adam moments are elementwise over params, so GSPMD slices the
+    (replicated) gradients for the sharded update and all-gathers the
+    updated params back to their replicated output sharding; memory for
+    the moments drops ~1/dp with no numerics change."""
+    dp = mesh.shape["dp"]
+    rep = replicated(mesh)
+
+    def place(x):
+        shape = getattr(x, "shape", ())
+        if len(shape) >= 1 and shape[0] % dp == 0 and shape[0] > 0:
+            return jax.device_put(x, NamedSharding(mesh, P("dp")))
+        return jax.device_put(x, rep)
+
+    return jax.tree_util.tree_map(place, tree)

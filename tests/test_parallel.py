@@ -272,3 +272,67 @@ def test_refine_step_dp_sharded_guidance():
     for k in ("loss", "loss_sds", "loss_rgb"):
         np.testing.assert_allclose(m_dp[k], m_local[k], rtol=2e-4, atol=1e-6,
                                    err_msg=k)
+
+
+def test_zero1_sharded_optimizer_matches_replicated():
+    """ZeRO-1 placement (opt-state leaves sharded over dp where divisible)
+    must be a pure memory layout change: one train step from identical
+    inits produces identical params and metrics vs replicated state."""
+    import jax.numpy as jnp
+    from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+    from animate3d_tpu.parallel.mesh import shard_leading_where_divisible
+    from animate3d_tpu.pipelines.train_mvvdm import (
+        MVVDMTrainConfig,
+        TrainBatch,
+        make_optimizer,
+        make_train_step,
+    )
+
+    ucfg = MVUNetConfig.tiny()
+    model = MVMotionUNet(ucfg)
+    tcfg = MVVDMTrainConfig(num_views=4)
+    bn, f, h, w = 8, 2, 8, 8
+    rng = np.random.default_rng(0)
+    latents = jnp.asarray(rng.normal(size=(bn, f, h, w, 4)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(bn, 7, ucfg.cross_attention_dim)),
+                       jnp.float32)
+    camera = jnp.asarray(rng.normal(size=(bn, 16)), jnp.float32)
+    img = jnp.asarray(rng.normal(size=(bn, ucfg.image_embed_dim)), jnp.float32)
+    params0 = jax.jit(model.init)(jax.random.PRNGKey(0), latents[:4],
+                                  jnp.asarray(0.0), text[:4], camera[:4],
+                                  img[:4])
+
+    def unet_apply(p, l, t, c, cm, ie, i2v_cond_time_zero=False):
+        return model.apply(p, l, t, c, cm, ie,
+                           i2v_cond_time_zero=i2v_cond_time_zero)
+
+    tx = make_optimizer(params0, tcfg)
+    step_fn = jax.jit(make_train_step(unet_apply, tx, tcfg))
+    mesh = make_mesh()
+    batch = shard_batch(mesh, TrainBatch(
+        latents=latents, text_ctx=text, null_text_ctx=jnp.zeros_like(text),
+        camera=camera, image_embeds=img))
+
+    results = {}
+    for mode in ("replicated", "zero1"):
+        params = replicate(mesh, params0)
+        opt_state = tx.init(params)
+        if mode == "zero1":
+            opt_state = shard_leading_where_divisible(mesh, opt_state)
+            shardings = {str(getattr(x, "sharding", None))
+                         for x in jax.tree_util.tree_leaves(opt_state)
+                         if hasattr(x, "sharding")}
+            assert any("dp" in s for s in shardings), shardings
+        else:
+            opt_state = replicate(mesh, opt_state)
+        p2, _, m = step_fn(params, opt_state, batch, jax.random.PRNGKey(1))
+        results[mode] = (jax.tree_util.tree_map(np.asarray, p2),
+                         {k: float(v) for k, v in m.items()})
+
+    p_rep, m_rep = results["replicated"]
+    p_z, m_z = results["zero1"]
+    np.testing.assert_allclose(m_z["loss"], m_rep["loss"], rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(p_rep),
+                    jax.tree_util.tree_leaves(p_z)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-7)
