@@ -497,6 +497,12 @@ def multi_head_attention(
                                                scale, axis_name)
     packable = (q.shape == k.shape == v.shape and q.shape[1] <= 32
                 and q.shape[0] >= 2 * (128 // q.shape[1]))
+    # measured (docs/denoise_microbench.json): packing wins at 40- and
+    # 160-dim heads (temporal L0 7.0→5.8 ms, L2 0.34→0.12) but narrowly
+    # loses at 80 (L1 1.05→1.18 — XLA's unpadded 80-dim contraction is
+    # already MXU-friendly), so auto skips d=80; backend="packed" forces
+    if backend == "auto" and d == 80:
+        packable = False
     if packable and (backend == "packed" or (
             backend == "auto" and jax.default_backend() == "tpu")):
         # tiny-sequence self/temporal attention: pack to MXU width
