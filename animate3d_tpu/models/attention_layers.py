@@ -62,18 +62,23 @@ class _ProjKernel(nn.Module):
 
 
 def _fused_proj(x: jnp.ndarray, names, features: int, dtype) -> list:
-    """One ``x @ [W_a | W_b | ...]`` matmul split into per-name outputs.
+    """Shared-input projections ``[x @ W_a, x @ W_b, ...]``.
 
     Mirrors nn.Dense semantics (input and kernels promoted to ``dtype``
-    before the dot). Each output column block is the same contraction as the
-    separate Dense would compute."""
+    before the dot). Measured on v5e (docs/denoise_microbench.json
+    qkv_L0_*): the single concatenated ``x @ [W_a|W_b|W_c]`` matmul is
+    *slower* than separate matmuls (0.87 vs 0.62 ms at the L0 cross-view
+    shape) — the jnp.split of the packed output materializes copies that
+    outweigh re-reading ``x`` — so this intentionally issues one matmul per
+    kernel. The param tree (``<name>/kernel``) is unchanged either way."""
     c = x.shape[-1]
     # auto-parented to the calling compact module (same mechanism as the
     # `dense = lambda ...` helpers below)
-    kernels = [_ProjKernel(in_dim=c, features=features, name=nm)() for nm in names]
-    w = jnp.concatenate([k.astype(dtype) for k in kernels], axis=1)
-    out = x.astype(dtype) @ w
-    return jnp.split(out, len(names), axis=-1)
+    xd = x.astype(dtype)
+    return [
+        xd @ _ProjKernel(in_dim=c, features=features, name=nm)().astype(dtype)
+        for nm in names
+    ]
 
 
 class CrossViewSelfAttention(nn.Module):
