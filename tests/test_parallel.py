@@ -48,8 +48,9 @@ def test_dp_gradient_psum_matches_single_device():
 
 def test_mvvdm_train_step_dp_sharded():
     """One dp-sharded MV-VDM train step on the 8-device mesh (the
-    dryrun_multichip path, asserted loss-finite). refine_scale=False skips
-    the ~15-min 512²/1024² cases (run standalone + by the driver)."""
+    dryrun_multichip path, asserted loss-finite). refine_scale stays False
+    here AND in the driver's dryrun; the ~15-min 512²/1024² cases run only
+    under ANIMATE3D_DRYRUN_REFINE_SCALE=1 (builder-owned slow check)."""
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8, refine_scale=False)
