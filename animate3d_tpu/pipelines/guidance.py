@@ -41,6 +41,11 @@ class GuidanceConfig:
     latent_scaling: float = 0.18215
     num_train_timesteps: int = 1000
     image_size: int = 256  # SDS encode resolution (animatemv_guidance.py:533)
+    # VAE-encode the SDS batch in rematerialized chunks: encoding all 64
+    # view-frames in one differentiated program keeps every encoder
+    # activation live for the backward (~2 GB per 256² conv layer) and OOMs
+    # a 16 GB chip; chunking + jax.checkpoint bounds the peak to one chunk
+    vae_encode_chunk: int = 8
     # schedulable (C() lists allowed)
     min_step_percent: object = 0.02
     max_step_percent: object = 0.2
@@ -74,6 +79,18 @@ class AnimateMVGuidance:
         # (loss, ∂loss/∂rgb) as its own compile unit: the render backward is
         # excluded, so this program is VAE fwd/bwd + one frozen UNet forward
         self._pixel_grad = jax.jit(jax.value_and_grad(self._loss_impl, argnums=2))
+
+    def _chunked_vae_encode(self, vae_params, x):
+        """VAE encode in rematerialized chunks (see vae_encode_chunk)."""
+        chunk = self.cfg.vae_encode_chunk
+        n = x.shape[0]
+        if chunk <= 0 or n <= chunk or n % chunk != 0:
+            return self.vae_encode(vae_params, x)
+        enc = jax.checkpoint(self.vae_encode)
+        xs = x.reshape(n // chunk, chunk, *x.shape[1:])
+        mean, logvar = jax.lax.map(lambda c: enc(vae_params, c), xs)
+        return (mean.reshape((n,) + mean.shape[2:]),
+                logvar.reshape((n,) + logvar.shape[2:]))
 
     def min_max_step(self, global_step: int) -> Tuple[int, int]:
         """Timestep-range annealing (update_step, animatemv_guidance.py:767-793)."""
@@ -114,7 +131,7 @@ class AnimateMVGuidance:
         if rgb.shape[1] != s or rgb.shape[2] != s:
             rgb = jax.image.resize(rgb, (bnf, s, s, 3), method="bilinear")
         k_post, k_noise = jax.random.split(key)
-        mean, logvar = self.vae_encode(vae_params, rgb * 2.0 - 1.0)
+        mean, logvar = self._chunked_vae_encode(vae_params, rgb * 2.0 - 1.0)
         std = jnp.exp(0.5 * logvar)
         latents = (mean + std * jax.random.normal(k_post, mean.shape)) * cfg.latent_scaling
         lh, lw, lc = latents.shape[1:]

@@ -80,8 +80,11 @@ class MVSampler:
         self.unet_apply = unet_apply
         self.cfg = cfg
         self.scheduler = scheduler or DDIMScheduler.create(SchedulerConfig())
-        # jit once; scheduler tables close over as constants
-        self._denoise = jax.jit(self._denoise_impl, static_argnames=("num_steps",))
+        # jit once; scheduler tables close over as constants. latents are
+        # donated — each FreeInit iteration rebinds them from the return
+        self._denoise = jax.jit(self._denoise_impl,
+                                static_argnames=("num_steps",),
+                                donate_argnums=(1,))
 
     # -- conditioning helpers ------------------------------------------------
 

@@ -12,7 +12,10 @@ Parity target: train.py:88-698 in the reference —
 TPU design: instead of DDP/NCCL (train.py:457), the train step is jitted over
 a ``Mesh`` with the (B·N) batch axis sharded on ``dp``; XLA inserts the
 gradient psum over ICI. bf16 activations replace AMP GradScaler (no loss
-scaling needed in bf16).
+scaling needed in bf16). HBM discipline for one 16 GB chip: gradients and
+optimizer state exist only for the trainable subtree (partition_params), the
+frozen base can be stored bf16 (cast_frozen_bf16), and callers jit the step
+with ``donate_argnums=(0, 1)`` so params/opt-state update in place.
 """
 
 from __future__ import annotations
@@ -90,15 +93,44 @@ def trainable_mask(params) -> Any:
     return jax.tree_util.tree_map_with_path(mark, params)
 
 
-def make_optimizer(params, cfg: MVVDMTrainConfig) -> optax.GradientTransformation:
-    """AdamW on the trainable subset; frozen params get zero updates.
+def partition_params(params) -> Tuple[Any, Any]:
+    """(trainable, frozen) trees with ``None`` (empty-subtree) leaves on the
+    other side, so gradients/optimizer state exist ONLY for the ~30% of
+    params the reference unfreezes — full-tree gradients for the SD1.5-scale
+    UNet are ~5 GB of HBM that the frozen base never uses."""
+    mask = trainable_mask(params)
+    train = jax.tree_util.tree_map(lambda p, m: p if m else None, params, mask)
+    frozen = jax.tree_util.tree_map(lambda p, m: None if m else p, params, mask)
+    return train, frozen
 
-    (optax.masked alone is wrong here: it passes masked-out gradients through
-    *unchanged* as updates, which would apply raw-gradient steps to the frozen
-    base weights.)"""
-    labels = jax.tree_util.tree_map(
-        lambda t: "train" if t else "freeze", trainable_mask(params))
-    tx = optax.chain(
+
+def combine_params(train, frozen):
+    """Inverse of :func:`partition_params` (None leaves fill from the other
+    tree)."""
+    return jax.tree_util.tree_map(
+        lambda t, f: f if t is None else t, train, frozen,
+        is_leaf=lambda x: x is None)
+
+
+def cast_frozen_bf16(params):
+    """Cast the frozen base weights to bf16 in place of fp32 storage: the
+    compute path casts them to bf16 anyway (model dtype), and they receive
+    no updates — halves the resident bytes of the ~860M frozen params.
+    Trainable params stay fp32 (optimizer master weights)."""
+    train, frozen = partition_params(params)
+    frozen = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, frozen)
+    return combine_params(train, frozen)
+
+
+def make_optimizer(params, cfg: MVVDMTrainConfig) -> optax.GradientTransformation:
+    """AdamW over the trainable subtree only. ``init`` accepts either the
+    full param tree or an already-partitioned trainable subtree; ``update``
+    takes gradients of the trainable subtree (as produced by
+    :func:`make_train_step`) — frozen params carry no state, no gradients,
+    and no update buffers."""
+    inner = optax.chain(
         optax.clip_by_global_norm(cfg.max_grad_norm),
         optax.adamw(
             learning_rate=make_lr_schedule(cfg),
@@ -106,8 +138,16 @@ def make_optimizer(params, cfg: MVVDMTrainConfig) -> optax.GradientTransformatio
             weight_decay=cfg.weight_decay,
         ),
     )
-    return optax.multi_transform({"train": tx, "freeze": optax.set_to_zero()},
-                                 labels)
+
+    def init_fn(params):
+        train, _ = partition_params(params)
+        return inner.init(train)
+
+    def update_fn(grads, state, params=None):
+        train = partition_params(params)[0] if params is not None else None
+        return inner.update(grads, state, train)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 class TrainBatch(NamedTuple):
@@ -132,7 +172,8 @@ def make_train_step(
     n_views = cfg.num_views
     T = sched.config.num_train_timesteps
 
-    def loss_fn(params, batch: TrainBatch, key):
+    def loss_fn(train_params, frozen_params, batch: TrainBatch, key):
+        params = combine_params(train_params, frozen_params)
         bn, f = batch.latents.shape[:2]
         b = bn // n_views
         k_t, k_noise, k_drop = jax.random.split(key, 3)
@@ -161,10 +202,12 @@ def make_train_step(
         return loss
 
     def train_step(params, opt_state, batch: TrainBatch, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, key)
+        train, frozen = partition_params(params)
+        loss, grads = jax.value_and_grad(loss_fn)(train, frozen, batch, key)
         updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        train = optax.apply_updates(train, updates)
         gnorm = optax.global_norm(grads)
-        return params, opt_state, {"loss": loss, "grad_norm": gnorm}
+        return (combine_params(train, frozen), opt_state,
+                {"loss": loss, "grad_norm": gnorm})
 
     return train_step

@@ -179,8 +179,11 @@ class Animate3DSystem:
                               "lambda_scales", "lambda_tv_loss", "lambda_arap")
             if C_max(getattr(cfg.loss, name)) > 0.0)
 
+        # params/opt-state donated: the Adam update happens in place (frees
+        # one params+opt copy of HBM headroom; step() rebinds from the return)
         self._train_step = jax.jit(self._train_step_impl,
-                                   static_argnames=("do_guidance",))
+                                   static_argnames=("do_guidance",),
+                                   donate_argnums=(0, 1))
         # the 4D-SDS gradient runs as three separate compile units: fusing
         # the frozen SD1.5 UNet with the rasterizer backward into one XLA
         # program made tracing/compile blow up (docs/architecture.md)
