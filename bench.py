@@ -390,6 +390,7 @@ def bench_trainer_step(n_views: int = 4, n_frames: int = 16,
     from animate3d_tpu.pipelines.train_mvvdm import (
         MVVDMTrainConfig,
         TrainBatch,
+        cast_frozen_bf16,
         make_optimizer,
         make_train_step,
     )
@@ -412,9 +413,14 @@ def bench_trainer_step(n_views: int = 4, n_frames: int = 16,
         return model.apply(p, lat, t, ctx, cam, ie,
                            i2v_cond_time_zero=i2v_cond_time_zero)
 
+    # the CLI's single-chip HBM discipline (cli/train_mvvdm.py): frozen base
+    # stored bf16, grads/opt-state only for the trainable subtree, params +
+    # opt-state donated so the Adam update happens in place
+    params = cast_frozen_bf16(params)
     tx = make_optimizer(params, tcfg)
     opt_state = tx.init(params)
-    train_step = jax.jit(make_train_step(unet_apply, tx, tcfg))
+    train_step = jax.jit(make_train_step(unet_apply, tx, tcfg),
+                         donate_argnums=(0, 1))
     batch = TrainBatch(latents=latents, text_ctx=text,
                        null_text_ctx=jnp.zeros_like(text), camera=camera,
                        image_embeds=img)
@@ -445,6 +451,9 @@ _SECTION_MARK = "BENCH_SECTION "
 # name → (runner returning a flat dict of extras, timeout seconds).  Timeouts
 # cover a COLD compile of each program on this host (full-UNet programs take
 # 10-25+ min to compile; warm runs hit /tmp/jax_cache_animate3d_tpu).
+# ORDER = priority: the headline components (denoise → recon → refine) run
+# first so a late stall costs only the tail sections (round-3 lesson: the
+# old all-or-nothing ordering zeroed the round when refine OOM'd).
 def _section_specs():
     return {
         "denoise": (lambda: dict(zip(
@@ -453,12 +462,12 @@ def _section_specs():
             (lambda s, t, m: (round(s, 4), round(t, 1), round(m, 4)))(
                 *bench_denoise_step()))), 3300),
         "recon": (bench_recon_step, 3000),
+        "raster": (lambda: {"raster_fps_512":
+                            round(bench_raster_fps(), 1)}, 1200),
         "refine": (lambda: {"refine_sec_per_step":
                             round(bench_refine_step(), 4)}, 3600),
         "trainer": (lambda: {"mvvdm_trainer_sec_per_step":
                              round(bench_trainer_step(), 4)}, 3600),
-        "raster": (lambda: {"raster_fps_512":
-                            round(bench_raster_fps(), 1)}, 1500),
         "quality": (lambda: {"recon_synthetic_gt_psnr":
                              round(bench_recon_quality(), 2)}, 2400),
         "binning": (bench_binning_quality, 1800),
@@ -478,14 +487,14 @@ def run_section(name: str) -> None:
     print(_SECTION_MARK + json.dumps(out), flush=True)
 
 
-def _run_section_subprocess(name: str, timeout: float):
-    """(extras dict | None). Retries once; a hang/crash loses only this
-    section instead of the whole benchmark run."""
+def _run_section_subprocess(name: str, timeout: float, allow_retry=True):
+    """(extras dict | None). Retries once (budget permitting); a hang/crash
+    loses only this section instead of the whole benchmark run."""
     import os
     import subprocess
     import sys
 
-    for attempt in (1, 2):
+    for attempt in ((1, 2) if allow_retry else (1,)):
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--section", name],
@@ -504,6 +513,41 @@ def _run_section_subprocess(name: str, timeout: float):
     return None
 
 
+def _emit_headline(extra: dict, missing, pending) -> None:
+    """Print the headline JSON from whatever is measured SO FAR.  Called
+    after every section so the last stdout JSON line is always the best
+    current result — a late stall or OOM can no longer zero the whole run
+    (round-3 lesson: rc=124 with the headline gated on ALL sections left
+    ``parsed: null``).  Until all three headline components are measured the
+    metric is suffixed ``_partial`` and ``value`` sums only measured parts."""
+    parts = {
+        "mvvdm_sec_per_denoise_step": 75,
+        "recon_schedule_avg_sec_per_step": 800,
+        "refine_sec_per_step": 200,
+    }
+    if ("recon_schedule_avg_sec_per_step" not in extra
+            and "recon_sec_per_step" in extra):
+        extra = dict(extra,
+                     recon_schedule_avg_sec_per_step=extra["recon_sec_per_step"])
+    measured = {k: n for k, n in parts.items() if k in extra}
+    secs = sum(n * extra[k] for k, n in measured.items()) + FIXED_OVERHEAD_SEC
+    complete = len(measured) == len(parts)
+    out = {
+        "metric": ("two_stage_pipeline_minutes" if complete
+                   else "two_stage_pipeline_minutes_partial"),
+        "value": round(secs / 60.0, 2),
+        "unit": "min (75 denoise + 800 recon + 200 refine steps + 30s glue; "
+                "reference claims 15 min total on a >=24GB GPU)"
+                + ("" if complete else
+                   " — PARTIAL: missing " + ",".join(
+                       k for k in parts if k not in measured)),
+        "vs_baseline": round(BASELINE_MINUTES / (secs / 60.0), 3),
+        "extra": dict(extra, sections_failed=sorted(missing),
+                      sections_pending=sorted(pending)),
+    }
+    print(json.dumps(out), flush=True)
+
+
 def main() -> None:
     import os
     import sys
@@ -511,6 +555,14 @@ def main() -> None:
     if "--section" in sys.argv:
         run_section(sys.argv[sys.argv.index("--section") + 1])
         return
+
+    # total wall budget (driver-safe): sections that don't fit the remaining
+    # budget are skipped, with the headline re-emitted after every section.
+    # Worst-case sum of per-section timeouts with retries is ~10 h — far over
+    # any driver budget — so the deadline, not the per-section caps, bounds
+    # the run.
+    wall_budget = float(os.environ.get("BENCH_WALL_SEC", 5400))
+    deadline = time.monotonic() + wall_budget
 
     # tunnel preflight: fail FAST (minutes, not hours) when the device is
     # unreachable, instead of hanging inside the first section
@@ -524,41 +576,30 @@ def main() -> None:
         sys.exit(1)
 
     only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
+    specs = {n: s for n, s in _section_specs().items()
+             if not only or n in only}
     extra: dict = {}
     missing = []
-    for name, (_, timeout) in _section_specs().items():
-        if only and name not in only:
-            continue
-        res = _run_section_subprocess(name, timeout)
+    names = list(specs)
+    for i, name in enumerate(names):
+        runner_timeout = specs[name][1]
+        remaining = deadline - time.monotonic()
+        if remaining < 240:
+            print(f"[bench] wall budget exhausted — skipping {names[i:]}",
+                  file=sys.stderr)
+            missing.extend(names[i:])
+            break
+        res = _run_section_subprocess(
+            name, min(runner_timeout, remaining - 60),
+            allow_retry=remaining > 2 * runner_timeout + 120)
         if res is None:
             missing.append(name)
         else:
             extra.update(res)
+        _emit_headline(extra, missing, pending=names[i + 1:])
 
-    have = all(k in extra for k in ("mvvdm_sec_per_denoise_step",
-                                    "recon_sec_per_step",
-                                    "refine_sec_per_step"))
     if missing:
         print(f"[bench] sections without results: {missing}", file=sys.stderr)
-    if not have:
-        print("[bench] headline components missing; partial extras: "
-              + json.dumps(extra), file=sys.stderr)
-        sys.exit(1)
-
-    recon_avg = extra.get("recon_schedule_avg_sec_per_step",
-                          extra["recon_sec_per_step"])
-    pipeline_min = (75 * extra["mvvdm_sec_per_denoise_step"]
-                    + 800 * recon_avg
-                    + 200 * extra["refine_sec_per_step"]
-                    + FIXED_OVERHEAD_SEC) / 60.0
-    print(json.dumps({
-        "metric": "two_stage_pipeline_minutes",
-        "value": round(pipeline_min, 2),
-        "unit": "min (75 denoise + 800 recon + 200 refine steps + 30s glue; "
-                "reference claims 15 min total on a >=24GB GPU)",
-        "vs_baseline": round(BASELINE_MINUTES / pipeline_min, 3),
-        "extra": extra,
-    }))
 
 
 if __name__ == "__main__":
