@@ -86,6 +86,16 @@ def load_system_weights(cfg, system) -> None:
     print(f"[weights] restored system weights from {path}")
 
 
+def _progress(cfg, args):
+    """ProgressWriter in gradio mode (reference launch.py:200-202 installs
+    ProgressCallback writing <trial_dir>/progress); None otherwise."""
+    if not getattr(args, "gradio", False):
+        return None
+    from animate3d_tpu.utils.logging import ProgressWriter
+
+    return ProgressWriter(os.path.join(cfg.trial_dir, "progress"))
+
+
 def run_train(cfg, system, args) -> None:
     import jax
     import jax.numpy as jnp
@@ -160,8 +170,11 @@ def run_train(cfg, system, args) -> None:
         pending.clear()
         flush.t0 = time.perf_counter()
 
+    progress = _progress(cfg, args)
     flush.t0 = time.perf_counter()
     for step in range(max_steps):
+        if progress is not None and step % log_every == 0:
+            progress.train_step(step, max_steps)
         key, sub = jax.random.split(key)
         guidance_batch = None
         if system.cfg.load_guidance and dataset.random_sampler is not None:
@@ -208,6 +221,9 @@ def run_train(cfg, system, args) -> None:
                 "step": step + 1,
             })
     flush(time.perf_counter())
+    if progress is not None:
+        progress.train_step(max_steps, max_steps)
+        progress.close()
     print(f"[train] done; checkpoints in {ckpt_dir}")
 
 
@@ -274,6 +290,9 @@ def run_test(cfg, system, args) -> None:
     from animate3d_tpu.utils.saving import Saver
 
     _restore_for_eval(cfg, system, "test")
+    progress = _progress(cfg, args)
+    if progress is not None:  # callbacks.py:150-152 on_test_start
+        progress.write("Rendering video ...")
 
     test_option = cfg.system.get("test_option", "testset")
     n_frame = system.cfg.n_frame
@@ -389,8 +408,21 @@ def main(argv=None) -> None:
     group.add_argument("--validate", action="store_true")
     group.add_argument("--test", action="store_true")
     group.add_argument("--export", action="store_true")
+    parser.add_argument(
+        "--typecheck", action="store_true",
+        help="runtime tensor shape/dtype contracts at the framework "
+             "boundaries (reference launch.py:131-134 jaxtyping hook)")
+    parser.add_argument(
+        "--gradio", action="store_true",
+        help="UI mode: write single-line progress to <trial_dir>/progress "
+             "(reference ProgressCallback, callbacks.py:121-156)")
     parser.add_argument("extras", nargs="*", help="dotted config overrides")
     args = parser.parse_args(argv)
+
+    if args.typecheck:
+        from animate3d_tpu.core.typecheck import enable_typecheck
+
+        enable_typecheck()
 
     from animate3d_tpu.core.config import load_config, dump_config
 

@@ -136,9 +136,18 @@ def main(argv=None) -> None:
         scale_lr=cfg.get("scale_lr", False),
         lr_scale_factor=float(batch_size),
     )
+    if cfg.get("cast_frozen_bf16", True):
+        # frozen base weights stored bf16 (compute dtype) — no updates ever
+        # reach them, trainable params stay fp32 masters
+        from animate3d_tpu.pipelines.train_mvvdm import cast_frozen_bf16
+
+        unet_params = cast_frozen_bf16(unet_params)
     tx = make_optimizer(unet_params, tcfg)
     opt_state = tx.init(unet_params)
-    train_step = jax.jit(make_train_step(unet_apply, tx, tcfg))
+    # donate params/opt-state: the update happens in place instead of
+    # double-buffering ~9 GB across the optimizer step
+    train_step = jax.jit(make_train_step(unet_apply, tx, tcfg),
+                         donate_argnums=(0, 1))
 
     mesh = make_mesh()
     unet_params = replicate(mesh, unet_params)
@@ -221,6 +230,15 @@ def main(argv=None) -> None:
         print("[ip] WARNING: no image encoder — zero image embeds (smoke mode)")
 
     logger = MetricsLogger(os.path.join(out_dir, "metrics.jsonl"))
+    wandb_logger = None
+    if cfg.get("use_wandb", False):
+        # reference train.py:177-178 wandb.init(project="animatediff", ...);
+        # degrades to an offline JSONL when the package is missing
+        from animate3d_tpu.utils.logging import WandbLogger
+
+        wandb_logger = WandbLogger(
+            "animatediff", os.path.basename(out_dir.rstrip("/")), config=cfg,
+            offline_path=os.path.join(out_dir, "wandb_offline.jsonl"))
     key = jax.random.PRNGKey(cfg.get("global_seed", 42))
     ckpt_every = cfg.get("checkpointing_steps", 1000)
     validation_steps = cfg.get("validation_steps", 0)
@@ -288,6 +306,8 @@ def main(argv=None) -> None:
         for s, m in pending:
             logger.log(s, {**{k: float(v) for k, v in m.items()},
                            "sec_per_step": window})
+            if wandb_logger is not None:  # train.py:610-611 wandb.log
+                wandb_logger.log({"train_loss": float(m["loss"])}, step=s)
         s, m = pending[-1]
         print(f"[{s}/{max_steps}] loss={float(m['loss']):.5f} "
               f"({window:.2f}s/it avg)")

@@ -82,3 +82,70 @@ def profile_trace(log_dir: Optional[str]):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+class ProgressWriter:
+    """Single-line progress file for UI front-ends (reference gradio mode:
+    threestudio/utils/callbacks.py:121-156 ProgressCallback — the file is
+    rewritten in place, not appended, so a poller reads one current line)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = None
+
+    def write(self, msg: str) -> None:
+        if self._f is None:
+            self._f = open(self.path, "w")
+        self._f.seek(0)
+        self._f.truncate()
+        self._f.write(msg)
+        self._f.flush()
+
+    def train_step(self, step: int, max_steps: int) -> None:
+        self.write(f"Generation progress: {step / max(max_steps, 1) * 100:.2f}%")
+
+    def close(self) -> None:
+        if self._f is not None:
+            self._f.close()
+            self._f = None
+
+
+class WandbLogger:
+    """Optional Weights & Biases logging (reference train.py:177-178,610-611
+    gates on ``use_wandb``). When the wandb package is missing (this image
+    has no egress) it degrades to an offline JSONL file next to the metrics
+    log so the call sites stay identical."""
+
+    def __init__(self, project: str, name: str, config: Optional[Dict] = None,
+                 offline_path: Optional[str] = None):
+        self._run = None
+        self._offline = None
+        try:
+            import wandb  # noqa: F401 — optional dependency
+
+            self._run = wandb.init(project=project, name=name, config=config)
+        except Exception as e:  # module missing or init failed (no egress)
+            self._offline = offline_path or "wandb_offline.jsonl"
+            os.makedirs(os.path.dirname(self._offline) or ".", exist_ok=True)
+            with open(self._offline, "a") as f:
+                f.write(json.dumps({"event": "init", "project": project,
+                                    "name": name,
+                                    "reason": f"wandb unavailable: {e}"}) + "\n")
+
+    def log(self, metrics: Dict[str, Any], step: int) -> None:
+        if self._run is not None:
+            self._run.log(metrics, step=step)
+            return
+        rec = {"step": step}
+        for k, v in metrics.items():
+            try:
+                rec[k] = float(v)
+            except (TypeError, ValueError):
+                rec[k] = str(v)
+        with open(self._offline, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def finish(self) -> None:
+        if self._run is not None:
+            self._run.finish()
