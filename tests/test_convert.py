@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -219,3 +220,37 @@ def test_adapter_init_parity_seeds_to_q_i2v_from_to_q():
                                       np.asarray(orig))
         assert np.abs(np.asarray(mm["to_q_i2v"]["kernel"])
                       - np.asarray(mm["to_q"]["kernel"])).max() > 0
+
+
+def test_discover_artifacts(tmp_path):
+    """--all DIR auto-detection of the four artifact families
+    (scripts/convert_weights.py one-command mode, reference
+    inference.py:63-73 load paths)."""
+    import importlib.util
+    import json
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_weights",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "convert_weights.py"))
+    cw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cw)
+
+    root = tmp_path / "pretrained_models"
+    mv = root / "mvdream-sd1.5-diffusers"
+    for sub in ("unet", "vae", "text_encoder", "tokenizer"):
+        (mv / sub).mkdir(parents=True)
+    ma = root / "animatediff-motion-adapter-v1-5-2"
+    ma.mkdir()
+    (ma / "config.json").write_text(json.dumps({"_class_name": "MotionAdapter"}))
+    (ma / "diffusion_pytorch_model.safetensors").write_bytes(b"")
+    ip = root / "IP-Adapter"
+    (ip / "models").mkdir(parents=True)
+    (ip / "models" / "ip-adapter_sd15.bin").write_bytes(b"")
+    (root / "animate3d_motion_modules.ckpt").write_bytes(b"")
+
+    found = cw.discover_artifacts(str(root))
+    assert found["mvdream_dir"] == str(mv)
+    assert found["motion_adapter_dir"] == str(ma)
+    assert found["ip_adapter_dir"] == str(ip)
+    assert found["animate3d_ckpt"] == str(root / "animate3d_motion_modules.ckpt")
