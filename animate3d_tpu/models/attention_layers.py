@@ -45,11 +45,10 @@ from animate3d_tpu.models.embeddings import (
 class _ProjKernel(nn.Module):
     """Declares a Dense-compatible bias-free projection kernel
     (``params/<name>/kernel``, lecun-normal init — identical tree and RNG
-    stream to ``nn.Dense(name=<name>, use_bias=False)``) and returns it, so
-    several projections sharing one input can run as a single concatenated
-    matmul (one read of the activations instead of three/four — the q/k/v
-    HBM-fusion lever from docs/denoise_roofline.md) while the checkpoint
-    layout stays 1:1 with the reference's per-projection Linears."""
+    stream to ``nn.Dense(name=<name>, use_bias=False)``) and returns it.
+    Kept (instead of plain nn.Dense) purely for :func:`_shared_input_proj`'s
+    one-call-site brevity; the checkpoint layout stays 1:1 with the
+    reference's per-projection Linears."""
 
     in_dim: int
     features: int
@@ -61,8 +60,8 @@ class _ProjKernel(nn.Module):
         )
 
 
-def _fused_proj(x: jnp.ndarray, names, features: int, dtype) -> list:
-    """Shared-input projections ``[x @ W_a, x @ W_b, ...]``.
+def _shared_input_proj(x: jnp.ndarray, names, features: int, dtype) -> list:
+    """Shared-input projections ``[x @ W_a, x @ W_b, ...]``, one matmul each.
 
     Mirrors nn.Dense semantics (input and kernels promoted to ``dtype``
     before the dot). Measured on v5e (docs/denoise_microbench.json
@@ -101,10 +100,10 @@ class CrossViewSelfAttention(nn.Module):
             feats, use_bias=use_bias, dtype=self.dtype, name=name
         )
         if self.image_attn:
-            q, k, v, qi = _fused_proj(
+            q, k, v, qi = _shared_input_proj(
                 xr, ("to_q", "to_k", "to_v", "to_q_i2v"), c, self.dtype)
         else:
-            q, k, v = _fused_proj(xr, ("to_q", "to_k", "to_v"), c, self.dtype)
+            q, k, v = _shared_input_proj(xr, ("to_q", "to_k", "to_v"), c, self.dtype)
         h = multi_head_attention(q, k, v, self.num_heads)
 
         if self.image_attn:
@@ -148,11 +147,11 @@ class TextCrossAttention(nn.Module):
             feats, use_bias=use_bias, dtype=self.dtype, name=name
         )
         q = dense(c, False, "to_q")(x)
-        k, v = _fused_proj(context, ("to_k", "to_v"), c, self.dtype)
+        k, v = _shared_input_proj(context, ("to_k", "to_v"), c, self.dtype)
         h = multi_head_attention(q, k, v, self.num_heads)
 
         if self.ip_enabled and ip_context is not None:
-            ip_k, ip_v = _fused_proj(ip_context, ("to_k_ip", "to_v_ip"), c, self.dtype)
+            ip_k, ip_v = _shared_input_proj(ip_context, ("to_k_ip", "to_v_ip"), c, self.dtype)
             h_ip = multi_head_attention(q, ip_k, ip_v, self.num_heads)
             h = h + self.ip_scale * h_ip
 
@@ -239,13 +238,13 @@ class SpatioTemporalAttention(nn.Module):
         if use_extra_encoding:
             x = add_temporal_positional_embedding(x, self.max_seq_length)
 
-        q, k, v = _fused_proj(x, ("to_q", "to_k", "to_v"), c, self.dtype)
+        q, k, v = _shared_input_proj(x, ("to_q", "to_k", "to_v"), c, self.dtype)
         h_t = multi_head_attention(q, k, v, self.num_heads)
         h_t = dense(c, True, "to_out_0")(h_t)
 
         h_sp = None
         if self.spatial_attn:
-            qs, ks, vs = _fused_proj(
+            qs, ks, vs = _shared_input_proj(
                 xs, ("to_q_sp", "to_k_sp", "to_v_sp"), c, self.dtype)
             hs = multi_head_attention(qs, ks, vs, self.num_heads)
             out_init = (nn.initializers.zeros if not self.use_alpha_blender
@@ -260,7 +259,7 @@ class SpatioTemporalAttention(nn.Module):
         if self.image_attn:
             qi = dense(c, False, "to_q_i2v")(xi)
             x0 = xi.reshape(b * n, f, hw, c)[:, 0]  # first frame tokens
-            ki, vi = _fused_proj(x0, ("to_k_i2v", "to_v_i2v"), c, self.dtype)
+            ki, vi = _shared_input_proj(x0, ("to_k_i2v", "to_v_i2v"), c, self.dtype)
             ki = jnp.broadcast_to(ki[:, None], (b * n, f, hw, c)).reshape(b * n * f, hw, c)
             vi = jnp.broadcast_to(vi[:, None], (b * n, f, hw, c)).reshape(b * n * f, hw, c)
             hi = multi_head_attention(qi, ki, vi, self.num_heads)
@@ -298,7 +297,7 @@ class TemporalSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.channels
-        q, k, v = _fused_proj(x, ("to_q", "to_k", "to_v"), c, self.dtype)
+        q, k, v = _shared_input_proj(x, ("to_q", "to_k", "to_v"), c, self.dtype)
         h = multi_head_attention(q, k, v, self.num_heads)
         return nn.Dense(c, use_bias=True, dtype=self.dtype, name="to_out_0")(h)
 

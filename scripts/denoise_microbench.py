@@ -152,7 +152,7 @@ def bench_geglu_fused(batch=128, seq=1024, ch=320):
 
 def bench_qkv(batch=32, seq=4096, ch=320, fused=False):
     """3 shared-input projections as separate matmuls vs one concatenated
-    matmul (attention_layers._fused_proj)."""
+    matmul (attention_layers._shared_input_proj)."""
     import jax.numpy as jnp
 
     x = jnp.asarray(_rng(batch, seq, ch), jnp.bfloat16)

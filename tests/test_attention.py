@@ -89,7 +89,7 @@ class TestCrossViewSelfAttention:
         out_i2v = np.asarray(m_i2v.apply(params, self.x, self.f))
         out_plain = np.asarray(m_plain.apply(shared, self.x, self.f))
         # q/k/v run as one fused matmul whose width includes to_q_i2v when
-        # image_attn=True (attention_layers._fused_proj), so plain-vs-i2v is
+        # image_attn=True (attention_layers._shared_input_proj), so plain-vs-i2v is
         # equal only up to matmul-tiling reassociation (~1e-7)
         np.testing.assert_allclose(out_i2v, out_plain, atol=1e-5, rtol=1e-6)
         # the zero-contribution property itself is exact: scrambling the i2v
