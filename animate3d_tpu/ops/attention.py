@@ -81,6 +81,104 @@ def _packed_small_attention(
     return out[:B] if pad_b else out
 
 
+def _packed_temporal_kernel(q_ref, k_ref, v_ref, o_ref, *, seq: int,
+                            scale: float, group_block: int):
+    """One grid cell: ``group_block`` packed groups of one head. Each group
+    is a (pack, seq)-packed 128-token block; scores are masked to the
+    block-diagonal (cross-sequence scores → −inf) and the softmax+PV never
+    leave VMEM."""
+    log2e = 1.4426950408889634
+    pack_to = q_ref.shape[2]
+    blk = jax.lax.broadcasted_iota(jnp.int32, (pack_to, pack_to), 0) // seq
+    blk_t = jax.lax.broadcasted_iota(jnp.int32, (pack_to, pack_to), 1) // seq
+    neg = jnp.where(blk == blk_t, 0.0, -1e30).astype(jnp.float32)
+    for g in range(group_block):
+        q = q_ref[g, 0]
+        k = k_ref[g, 0]
+        v = v_ref[g, 0]
+        # scale AFTER the dot, in f32: pre-scaling q would round the scaled
+        # values back to bf16 before the MXU (≈2-ulp output error vs the XLA
+        # packed path); here the scores are only (128, 128) per group, so the
+        # post-dot multiply-add is one cheap fused VPU pass
+        s = (jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+             * (scale * log2e) + neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+        o_ref[g, 0] = (acc / l).astype(o_ref.dtype)
+
+
+def _packed_temporal_fwd_impl(q, k, v, num_heads: int, scale: float,
+                              pack_to: int = 128, group_block: int = 8):
+    """Fused packed tiny-sequence attention forward (B, S, C) → (B, S, C).
+
+    The XLA packed path (:func:`_packed_small_attention`) materializes the
+    packed (B/P, H, 128, 128) f32 logits AND probabilities in HBM — ~1 GB of
+    traffic per L0 temporal call. This kernel keeps both in VMEM: HBM
+    traffic is just q/k/v/out plus one XLA head-split transpose each.
+
+    Measured OUTCOME (docs/flash_tune.json, v5e): despite the HBM saving it
+    is ~13% slower than the XLA packed path at the production L0 shape
+    (5.6 vs 4.97 ms) — the per-head (128, d=40) blocks drive the MXU/VPU at
+    40/128 lane occupancy, where XLA's packed layout keeps the full 320-lane
+    channel axis. Kept for explicit A/B (``backend="packed_flash"``), not
+    routed by ``auto``.
+    """
+    B, S, C = q.shape
+    P = pack_to // S
+    D = C // num_heads
+    pad_b = (-B) % (P * group_block)
+    if pad_b:
+        q, k, v = (jnp.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+                   for x in (q, k, v))
+    G = (B + pad_b) // P
+
+    def to_gh(x):  # (B, S, C) -> (G, H, P·S, D)
+        return (x.reshape(G, P * S, num_heads, D).transpose(0, 2, 1, 3))
+
+    qh, kh, vh = to_gh(q), to_gh(k), to_gh(v)
+    spec = pl.BlockSpec((group_block, 1, P * S, D),
+                        lambda i, h: (i, h, 0, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_packed_temporal_kernel, seq=S, scale=scale,
+                          group_block=group_block),
+        grid=(G // group_block, num_heads),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((G, num_heads, P * S, D), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qh, kh, vh)
+    out = out.transpose(0, 2, 1, 3).reshape(G * P, S, C)
+    return out[:B] if pad_b else out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def packed_temporal_flash(q, k, v, num_heads: int, scale: float):
+    """Differentiable fused packed attention over many tiny sequences.
+
+    Forward runs the Pallas kernel (probabilities stay in VMEM); backward
+    recomputes through :func:`_packed_small_attention`'s XLA graph — the
+    training/guidance paths already pay the materialized-probability cost
+    there, and the recompute keeps this kernel a drop-in for them."""
+    return _packed_temporal_fwd_impl(q, k, v, num_heads, scale)
+
+
+def _packed_temporal_fwd(q, k, v, num_heads, scale):
+    return _packed_temporal_fwd_impl(q, k, v, num_heads, scale), (q, k, v)
+
+
+def _packed_temporal_bwd(num_heads, scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q, k, v: _packed_small_attention(q, k, v, num_heads, scale),
+        q, k, v)
+    return vjp(g)
+
+
+packed_temporal_flash.defvjp(_packed_temporal_fwd, _packed_temporal_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Pallas flash attention (non-causal, no mask — the MV-VDM never masks)
 # ---------------------------------------------------------------------------
@@ -503,9 +601,18 @@ def multi_head_attention(
     # already MXU-friendly), so auto skips d=80; backend="packed" forces
     if backend == "auto" and d == 80:
         packable = False
-    if packable and (backend == "packed" or (
+    if packable and (backend in ("packed", "packed_flash") or (
             backend == "auto" and jax.default_backend() == "tpu")):
-        # tiny-sequence self/temporal attention: pack to MXU width
+        # tiny-sequence self/temporal attention: pack to MXU width.  The
+        # fused Pallas variant (probabilities stay in VMEM) measured SLOWER
+        # than this XLA packed path at the production temporal L0 shape
+        # (docs/flash_tune.json: 5.6 vs 4.97 ms — its (…, 40)-lane blocks
+        # waste 69% of the VPU/MXU lane width that XLA's (…, 320) packed
+        # layout keeps full), so auto keeps XLA packing; the kernel remains
+        # available for explicit A/B via backend="packed_flash".
+        if (backend == "packed_flash" and jax.default_backend() == "tpu"
+                and 128 % q.shape[1] == 0):
+            return packed_temporal_flash(q, k, v, num_heads, scale)
         return _packed_small_attention(q, k, v, num_heads, scale)
     qh, kh, vh = (_split_heads(x, num_heads) for x in (q, k, v))
     use_flash = False

@@ -1,0 +1,157 @@
+"""Per-op profile of the MV-VDM denoise step on the real TPU.
+
+Captures a ``jax.profiler`` device trace of a few full denoise steps and
+reduces the XSpace to a per-HLO-op attribution (self-time, category), so the
+"residual glue" in docs/denoise_roofline.md stops being a subtraction and
+becomes a ranked list of actual ops to fuse/eliminate.
+
+Usage:
+  python scripts/profile_denoise.py --smoke   # tiny matmul: is device
+                                              # tracing available at all
+                                              # through the axon tunnel?
+  python scripts/profile_denoise.py           # full denoise step
+Writes docs/denoise_profile.json (top ops by self time + category rollup).
+"""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+TRACE_DIR = "/tmp/animate3d_profile"
+
+
+def _capture(step, args, n=3):
+    import jax
+
+    # warm up (compile) outside the trace
+    jax.block_until_ready(step(*args))
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(n):
+            out = step(*args)
+        jax.block_until_ready(out)
+
+
+def _find_xspace():
+    paths = sorted(glob.glob(os.path.join(
+        TRACE_DIR, "plugins/profile/*/*.xplane.pb")),
+        key=os.path.getmtime)
+    return paths[-1] if paths else None
+
+
+def _parse_xspace(path):
+    """Reduce the XSpace proto to per-op self-times on device lines.
+
+    Uses xprof's own proto bindings when importable; the visitor walks every
+    device plane (TPU core) and sums durations per event name on the
+    XLA-op line.
+    """
+    from xprof.convert import raw_to_tool_data as rttd
+
+    data, _ = rttd.xspace_to_tool_data([path], "framework_op_stats",
+                                       {"tqx": "out:csv;"})
+    return data
+
+
+def _rollup_csv(csv_text):
+    import csv
+    import io
+
+    rows = list(csv.DictReader(io.StringIO(csv_text)))
+    return rows
+
+
+def main():
+    smoke = "--smoke" in sys.argv
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/jax_cache_animate3d_tpu")
+
+    if smoke:
+        a = jnp.asarray(np.random.default_rng(0).normal(size=(2048, 2048)),
+                        jnp.bfloat16)
+        step = jax.jit(lambda a: (a @ a).sum())
+        _capture(step, (a,), n=5)
+    else:
+        from bench import chain_bench  # noqa: F401  (env setup side effects)
+        from animate3d_tpu.models.unet_mv import MVMotionUNet, MVUNetConfig
+
+        cfg = MVUNetConfig()
+        model = MVMotionUNet(cfg, dtype=jnp.bfloat16)
+        bn, f, h, w = 8, 16, 32, 32
+        rng = np.random.default_rng(0)
+        latents = jnp.asarray(rng.normal(size=(bn, f, h, w, 4)), jnp.float32)
+        t = jnp.asarray(501.0)
+        text = jnp.asarray(rng.normal(size=(bn, 77, cfg.cross_attention_dim)),
+                           jnp.float32)
+        camera = jnp.asarray(rng.normal(size=(bn, 16)), jnp.float32)
+        image_embeds = jnp.asarray(
+            rng.normal(size=(bn, cfg.image_embed_dim)), jnp.float32)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), latents[:4, :2],
+                                     t, text[:4], camera[:4],
+                                     image_embeds[:4])
+        step = jax.jit(lambda p, x: model.apply(p, x, t, text, camera,
+                                                image_embeds))
+        _capture(step, (params, latents), n=2)
+
+    path = _find_xspace()
+    if path is None:
+        print("NO XSPACE captured — device tracing unavailable", flush=True)
+        return 1
+    print(f"xspace: {path} ({os.path.getsize(path)/1e6:.1f} MB)", flush=True)
+    csv_text = _parse_xspace(path)
+    rows = _rollup_csv(csv_text)
+    # keep device-side rows; rank by total self time
+    def fget(r, *names):
+        for n in names:
+            if n in r and r[n]:
+                return r[n]
+        return None
+
+    dev = []
+    for r in rows:
+        host = fget(r, "Host/device", "host_or_device", "Device")
+        if host and "evice" not in str(host):
+            continue
+        t_us = fget(r, "Total self-time (us)", "total_self_time_us",
+                    "Self-time (us)", "self_time_us")
+        if t_us is None:
+            continue
+        dev.append({
+            "op": fget(r, "Operation", "op_name", "Name"),
+            "type": fget(r, "Type", "op_type", "Category"),
+            "self_us": float(str(t_us).replace(",", "")),
+            "occurrences": fget(r, "#Occurrences", "occurrences"),
+        })
+    dev.sort(key=lambda d: -d["self_us"])
+    by_type = {}
+    for d in dev:
+        by_type[d["type"]] = by_type.get(d["type"], 0.0) + d["self_us"]
+    out = {
+        "total_device_us": round(sum(d["self_us"] for d in dev), 1),
+        "by_type_us": {k: round(v, 1) for k, v in sorted(
+            by_type.items(), key=lambda kv: -kv[1])},
+        "top_ops": dev[:60],
+    }
+    dst = "docs/denoise_profile.json"
+    if smoke:
+        dst = "/tmp/denoise_profile_smoke.json"
+    with open(dst, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out["by_type_us"], indent=1))
+    print(f"wrote {dst}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -262,6 +262,53 @@ class TestPackedSmallAttention:
                                    atol=2e-5, rtol=1e-5)
 
 
+class TestPackedTemporalFlash:
+    """ops/attention.py::packed_temporal_flash — the fused Pallas variant of
+    the MXU-packed tiny-sequence path (probabilities stay in VMEM instead of
+    round-tripping the packed (G, H, 128, 128) f32 blocks through HBM).
+
+    XLA:CPU on this box computes f32 matmuls in reduced precision and tiles
+    batched vs unbatched dots differently, so parity is checked under
+    ``jax.default_matmul_precision("highest")`` where both paths are exact.
+    """
+
+    def _qkv(self, b, s=16, c=80, seed=5):
+        rng = np.random.default_rng(seed)
+        return tuple(jnp.asarray(rng.normal(size=(b, s, c)), jnp.float32)
+                     for _ in range(3))
+
+    @pytest.mark.parametrize("b", [16, 20])  # 20: pad-to-group-multiple path
+    def test_forward_matches_packed_small(self, b):
+        from animate3d_tpu.ops.attention import (_packed_small_attention,
+                                                 packed_temporal_flash)
+
+        q, k, v = self._qkv(b)
+        with jax.default_matmul_precision("highest"):
+            ref = _packed_small_attention(q, k, v, 2, 40 ** -0.5)
+            out = packed_temporal_flash(q, k, v, 2, 40 ** -0.5)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=2e-5)
+
+    def test_grads_match_packed_small(self):
+        from animate3d_tpu.ops.attention import (_packed_small_attention,
+                                                 packed_temporal_flash)
+
+        q, k, v = self._qkv(16)
+
+        def loss(fn):
+            return lambda q, k, v: jnp.sum(
+                jnp.sin(fn(q, k, v, 2, 40 ** -0.5)))
+
+        with jax.default_matmul_precision("highest"):
+            gr = jax.grad(loss(_packed_small_attention),
+                          argnums=(0, 1, 2))(q, k, v)
+            gn = jax.grad(loss(packed_temporal_flash),
+                          argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(gr, gn, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       atol=2e-5, rtol=2e-5, err_msg=name)
+
+
 class TestFusedGEGLU:
     """ops/geglu.py — fused feed-forward kernel parity vs the reference
     Dense/split/gelu/Dense chain (docs/denoise_roofline.md lever (b))."""
