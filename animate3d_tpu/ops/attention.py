@@ -231,7 +231,8 @@ def _pad_to(x: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, widths)
 
 
-def _flash_kernel_wholek(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
+def _flash_kernel_wholek(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
+                         skip_max: bool = False):
     """Dense one-pass variant: whole K/V in VMEM AND the (block_q, Sk) score
     block fits VMEM, so the online-softmax state machine is pure overhead —
     one full-width QKᵀ dot, an exact row softmax (3 VPU passes over the
@@ -254,8 +255,20 @@ def _flash_kernel_wholek(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float):
     v = v_ref[0]
     qs = (q.astype(jnp.float32) * (scale * log2e)).astype(q.dtype)
     s = jnp.dot(qs, k.T, preferred_element_type=jnp.float32)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp2(s - m)
+    if skip_max:
+        # bounded-logit softmax: drop the row-max reduce + subtract (a VPU
+        # reduction pass over the (block_q, Sk) scores — measured ~7% of the
+        # kernel at Sk=4096, docs/flash_tune.json bq256_skipmax). exp2
+        # overflows f32 only past 2^127, i.e. an attention logit of ~88 nats
+        # — unreachable for trained nets (|logit| ≲ 30); the clamp (fused
+        # into the exp2 pass, not a separate sweep) keeps adversarial inputs
+        # finite, and Σp ≤ Sk·2^110 = 2^122 stays representable. Exact (same
+        # float ratios) whenever the clamp doesn't bind.
+        m = jnp.zeros((q.shape[0], 1), jnp.float32)
+        p = jnp.exp2(jnp.minimum(s, 110.0))
+    else:
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
     l_safe = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
     # bf16 p for the PV dot (f32 matmuls run at 1/4 bf16 MXU rate); f32 acc
     acc = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -270,6 +283,17 @@ def _flash_attention_fwd_impl(
     """(B, H, S, D) flash attention forward on TPU → (out, lse (B, H, S))."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
+    dp_est = 128 * ((d + 127) // 128)
+    kv_bytes = 2 * sk * dp_est * k.dtype.itemsize
+    # long-KV rows use the bounded-logit softmax (skip the row-max pass —
+    # see _flash_kernel_wholek), and with that VPU reduction gone a taller
+    # 512-row q block wins another ~4% (docs/flash_tune.json: 15.7 vs
+    # 16.6 ms at L0) — as long as the (block_q, Sk) f32 scores still fit
+    # VMEM next to K/V (≤ 8 MB + 4 MB of ~16 MB/core)
+    skip_max = sk >= 2048
+    if (skip_max and sq >= 512 and kv_bytes <= 4 * 1024 * 1024
+            and 512 * sk * 4 <= 8 * 1024 * 1024):
+        block_q = 512
     # fold batch and heads; pad D to lane width, S to block multiples
     qf = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, 128), 1, block_q)
     kf = _pad_to(k.reshape(b * h, sk, d), 2, 128)
@@ -289,12 +313,15 @@ def _flash_attention_fwd_impl(
                             memory_space=pltpu.VMEM)
 
     # dense variant when K/V AND the (block_q, Sk) f32 score block fit in
-    # VMEM together (~10 MB of the ~16 MB/core at 256×4096)
+    # VMEM together (~10 MB of the ~16 MB/core at 256×4096; the 512-row
+    # skip-max blocks were sized to the same total above)
     kv_bytes = 2 * sk * dp * kf.dtype.itemsize
     score_bytes = block_q * sk * 4
-    if kv_bytes <= 4 * 1024 * 1024 and score_bytes <= 4 * 1024 * 1024:
+    if kv_bytes <= 4 * 1024 * 1024 and score_bytes <= 8 * 1024 * 1024 and (
+            block_q == 512 or score_bytes <= 4 * 1024 * 1024):
         out, lse = pl.pallas_call(
-            functools.partial(_flash_kernel_wholek, scale=scale),
+            functools.partial(_flash_kernel_wholek, scale=scale,
+                              skip_max=skip_max),
             grid=(b * h, sq_p // block_q),
             in_specs=[
                 pl.BlockSpec((1, block_q, dp), lambda i, j: (i, j, 0),

@@ -55,13 +55,14 @@ def chain_bench(step_fn, x0, iters=8):
 
 
 def make_wholek_variant(block_q=256, bf16_p=False, skip_max=False,
-                        k_chunks=1):
+                        k_chunks=1, clamp=None):
     """Returns fn(q, k, v, scale) on (B, H, S, D) — a whole-K dense kernel
     variant. All K/V in VMEM; optional in-body k-chunking (unrolled online
     softmax, lets Mosaic interleave the next chunk's MXU dot with this
     chunk's VPU passes); optional bf16 probabilities; optional skip-max
-    (exact when |s·scale| < ~100 — scores are bounded for trained nets;
-    measured here only to size the max-pass cost)."""
+    (exact when |s·scale| < ~100 — scores are bounded for trained nets);
+    optional clamp (fused into the exp2 pass) that makes skip-max
+    overflow-safe for arbitrary inputs."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -76,7 +77,9 @@ def make_wholek_variant(block_q=256, bf16_p=False, skip_max=False,
             k = k_ref[0]
             v = v_ref[0]
             s = jnp.dot(qs, k.T, preferred_element_type=jnp.float32)
-            if skip_max:
+            if skip_max and clamp is not None:
+                p = jnp.exp2(jnp.minimum(s, clamp))
+            elif skip_max:
                 p = jnp.exp2(s)
             else:
                 m = jnp.max(s, axis=-1, keepdims=True)
@@ -183,13 +186,25 @@ def bench_cross_view(results, quick=False):
             "bq512_bf16p": make_wholek_variant(block_q=512, bf16_p=True),
             "bq256_skipmax": make_wholek_variant(block_q=256, skip_max=True,
                                                  bf16_p=True),
+            "bq256_skipmax_f32": make_wholek_variant(block_q=256,
+                                                     skip_max=True),
+            "bq256_skipmax_clip": make_wholek_variant(block_q=256,
+                                                      skip_max=True,
+                                                      clamp=100.0),
+            "bq512_skipmax_f32": make_wholek_variant(block_q=512,
+                                                     skip_max=True),
             "bq256_chunk2": make_wholek_variant(block_q=256, k_chunks=2),
             "bq512_chunk2": make_wholek_variant(block_q=512, k_chunks=2),
             "bq256_chunk4": make_wholek_variant(block_q=256, k_chunks=4),
             "bq512_chunk2_bf16p": make_wholek_variant(block_q=512, k_chunks=2,
                                                       bf16_p=True),
         }
+        only = None
+        if "--only" in sys.argv:
+            only = sys.argv[sys.argv.index("--only") + 1].split(",")
         for vn, fn in variants.items():
+            if only is not None and not any(pat in vn for pat in only):
+                continue
             try:
                 err = check(fn)
                 sec = chain_bench(lambda x, fn=fn: fn(x, k, v, scale), q,
@@ -259,9 +274,18 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     quick = "--quick" in sys.argv
     results = {}
-    bench_temporal(results, quick)
+    if "--cross-only" not in sys.argv:
+        bench_temporal(results, quick)
     bench_cross_view(results, quick)
-    with open("docs/flash_tune.json", "w") as f:
+    out_path = "docs/flash_tune.json"
+    try:  # merge so partial (e.g. --cross-only) runs keep earlier results
+        with open(out_path) as f:
+            prev = json.load(f)
+        prev.update(results)
+        results = prev
+    except (OSError, json.JSONDecodeError):
+        pass
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results, indent=1))
 

@@ -217,6 +217,34 @@ class TestFlashBackward:
         np.testing.assert_allclose(np.asarray(of), np.asarray(ox),
                                    atol=2e-5, rtol=1e-5)
 
+    def test_flash_skipmax_long_kv_parity(self):
+        """Sk ≥ 2048 routes the dense whole-K kernel through the bounded-
+        logit softmax (row-max pass skipped, clamp fused into exp2 —
+        ops/attention.py::_flash_kernel_wholek skip_max). Forward AND
+        gradients must match XLA: the lse handed to the backward kernels is
+        exact whenever the clamp doesn't bind."""
+        from animate3d_tpu.ops.attention import multi_head_attention
+
+        # sq ≥ 512 AND sk ≥ 2048 → skip_max with the taller 512-row q block
+        q, k, v = self._qkv(sq=512, sk=2048, h=1, d=40)
+
+        of = multi_head_attention(q, k, v, 1, backend="flash")
+        ox = multi_head_attention(q, k, v, 1, backend="xla")
+        np.testing.assert_allclose(np.asarray(of), np.asarray(ox),
+                                   atol=2e-5, rtol=1e-5)
+
+        def loss(backend):
+            def fn(q, k, v):
+                out = multi_head_attention(q, k, v, 1, backend=backend)
+                return jnp.sum(out ** 2) + jnp.sum(out[:, :7] * 0.3)
+            return fn
+
+        gx = jax.grad(loss("xla"), argnums=(0, 1, 2))(q, k, v)
+        gf = jax.grad(loss("flash"), argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gx, gf, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=5e-4, rtol=5e-4, err_msg=name)
+
 
 class TestPackedSmallAttention:
     """The MXU-packed path for tiny temporal sequences (backend='packed')."""
