@@ -160,6 +160,36 @@ def main():
 
     results["recon_train_step_s"] = timeit(recon, iters)
     results["sum_s"] = round(sum(results.values()), 4)
+    # recon() donated the system's param/opt buffers — rebind the live ones
+    system.params, system.opt_state = ps, os_
+
+    # wrapper vs inner jit: guidance.pixel_grad adds host-side _sample_t +
+    # camera16 (a dozen tiny dispatches through the axon tunnel per call)
+    def pixel_wrapped():
+        return system.guidance.pixel_grad(
+            system.guidance_inputs["unet_params"],
+            system.guidance_inputs["vae_params"],
+            rgb, g["text_cond"], g["text_uncond"], g["c2w"],
+            g["image_embeds"], key,
+            t_range=(lambdas["g_min_step"], lambdas["g_max_step"]),
+            ie_params=system.guidance_inputs.get("ie_params"))
+
+    results["pixel_grad_wrapper_s"] = round(timeit(pixel_wrapped, iters), 4)
+
+    # the full orchestrated step at a FIXED frame bucket (reset global_step
+    # so the progressive schedule — and therefore the compiled program —
+    # never changes mid-timing); difference vs the program sum is host glue
+    def full_step():
+        system.global_step = 200  # worst bucket: 8 frames = 32 renders@1024²
+        return system.step(batch, jax.random.PRNGKey(5), guidance_batch=g)
+
+    jax.block_until_ready(jax.tree_util.tree_leaves(full_step()))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        m = full_step()
+    jax.block_until_ready(jax.tree_util.tree_leaves(m))
+    results["full_step_bucket8_s"] = round(
+        (time.perf_counter() - t0) / iters, 4)
     results = {k: round(v, 4) for k, v in results.items()}
     with open("docs/refine_profile.json", "w") as f:
         json.dump(results, f, indent=1)
