@@ -403,8 +403,13 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0]  # (BQ, 1)
     delta = delta_ref[0]  # (BQ, 1)
 
-    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse)
+    # fwd's VPU-pass trick (see _flash_kernel_wholek): fold scale·log2(e)
+    # into the (BQ, D) q rows instead of multiplying the (BQ, BK) scores,
+    # and rebuild p with native exp2 against the base-2 lse
+    log2e = 1.4426950408889634
+    qs = (q.astype(jnp.float32) * (scale * log2e)).astype(q.dtype)
+    s2 = jnp.dot(qs, k_blk.T, preferred_element_type=jnp.float32)
+    p = jnp.exp2(s2 - lse * log2e)
     dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
     acc_ref[:] = acc_ref[:] + jnp.dot(
@@ -432,8 +437,11 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0]  # (BQ, 1)
     delta = delta_ref[0]  # (BQ, 1)
 
-    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32) * scale
-    p = jnp.exp(s - lse)  # (BQ, BK)
+    # same scale-fold + exp2 rebuild as the dq kernel
+    log2e = 1.4426950408889634
+    qs = (q.astype(jnp.float32) * (scale * log2e)).astype(q.dtype)
+    s2 = jnp.dot(qs, k_blk.T, preferred_element_type=jnp.float32)
+    p = jnp.exp2(s2 - lse * log2e)  # (BQ, BK)
     dv_acc[:] = dv_acc[:] + jnp.dot(p.astype(do.dtype).T, do,
                                     preferred_element_type=jnp.float32)
     dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
