@@ -122,13 +122,17 @@ def bench_denoise_step():
     # cost analysis reports 0 for Pallas custom calls, so counting the
     # production (flash/packed-routed) program undercounts the model by the
     # ~10 TFLOP that runs inside the kernels. The xla backend lowers every
-    # attention site as plain batched matmuls at the true (unpadded) shapes
-    # — compile-only, never executed (running it would materialize the
-    # (4096, 4096) L0 logits in HBM).
+    # attention site as plain batched matmuls at the true (unpadded) shapes.
+    # Compile-only — but the remote compiler still rejects programs whose
+    # buffers exceed HBM (the full-batch XLA L0 logits are ~16 GB), so count
+    # at HALF batch (4 = one view group, everything in the UNet is linear in
+    # batch) and double.
     from animate3d_tpu.ops.attention import attention_backend
 
+    half = lambda p, x: model.apply(p, x, t, text[:4], camera[:4],
+                                    image_embeds[:4])
     with attention_backend("xla"):
-        tflops = program_tflops(step, params, latents)
+        tflops = 2.0 * program_tflops(half, params, latents[:4])
     achieved = tflops / sec if tflops else 0.0
     return sec, achieved, achieved / device_peak_tflops()
 
