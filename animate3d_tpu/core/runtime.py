@@ -5,6 +5,38 @@ from __future__ import annotations
 import os
 
 
+#: Round-surviving persistent compile cache (VERDICT r4 #1d): /tmp did
+#: survive on this host, but $HOME is the documented-stable location.  The
+#: env var lets tests/CI redirect it.
+DEFAULT_CACHE_DIR = os.path.expanduser("~/.cache/animate3d_tpu/jax_cache")
+_LEGACY_CACHE_DIR = "/tmp/jax_cache_animate3d_tpu"
+
+
+def configure_persistent_cache(cache_dir: str | None = None) -> str:
+    """Point JAX's persistent compilation cache at a round-surviving dir.
+
+    Seeds the new location from the legacy /tmp dir via hardlinks when
+    possible (same filesystem ⇒ free; cross-device ⇒ skipped, entries
+    recompile and re-cache on first use).  Call before the first jit."""
+    import jax
+
+    cache_dir = cache_dir or os.environ.get("ANIMATE3D_JAX_CACHE",
+                                            DEFAULT_CACHE_DIR)
+    os.makedirs(cache_dir, exist_ok=True)
+    if os.path.isdir(_LEGACY_CACHE_DIR) and os.path.realpath(
+            _LEGACY_CACHE_DIR) != os.path.realpath(cache_dir):
+        for name in os.listdir(_LEGACY_CACHE_DIR):
+            dst = os.path.join(cache_dir, name)
+            if not os.path.exists(dst):
+                try:
+                    os.link(os.path.join(_LEGACY_CACHE_DIR, name), dst)
+                except OSError:
+                    break  # cross-device or perms — recompiles will refill
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    return cache_dir
+
+
 def honor_jax_platforms_env() -> None:
     """Make $JAX_PLATFORMS effective even where a sitecustomize force-registers
     an accelerator plugin before env-var platform selection applies (the axon

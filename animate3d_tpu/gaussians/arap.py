@@ -38,11 +38,24 @@ def connectivity_from_points(
     K: int = 10,
     least_edge_num: int = 3,
     adaptive_weighting: bool = True,
+    mode: str = "nn",
+    graph_K: int = 4,
 ) -> Connectivity:
     """KNN on frame 0; a neighbor survives only if it stays within ``radius``
     of the node across every later frame; the first ``least_edge_num``
-    neighbors are always kept (util.py:58-117)."""
+    neighbors are always kept (util.py:58-117). ``mode="floyd"`` instead
+    picks the K geodesically-nearest nodes over the frame-0 ``graph_K``-NN
+    graph (util.py:66-73; O(N³) — small control-node sets only) and skips
+    the rest-frame radius filter, exactly as the reference's floyd branch
+    does."""
     first = points[0]
+    if mode == "floyd":
+        nv = first.shape[0]
+        dist = geodesic_distance_floyd(first, K=graph_K) ** 2
+        dist = dist.at[jnp.arange(nv), jnp.arange(nv)].set(jnp.inf)
+        neg_dist, nn_idx = jax.lax.top_k(-dist, K)
+        return _finalize_connectivity(-neg_dist, nn_idx, radius,
+                                      least_edge_num, adaptive_weighting)
     nn_dist, nn_idx = knn(first, first, k=K, exclude_self=True)
 
     if points.shape[0] > 1:
@@ -52,6 +65,16 @@ def connectivity_from_points(
         stays_close = jnp.all(rest_d2 < radius ** 2, axis=0)  # (Nv, K)
         nn_dist = jnp.where(stays_close, nn_dist, jnp.inf)
 
+    return _finalize_connectivity(nn_dist, nn_idx, radius, least_edge_num,
+                                  adaptive_weighting)
+
+
+def _finalize_connectivity(nn_dist, nn_idx, radius, least_edge_num,
+                           adaptive_weighting=True) -> Connectivity:
+    """Shared tail of all connectivity builders: radius gate (keeping the
+    first ``least_edge_num`` slots), adaptive exp weights, row norm
+    (util.py:100-117)."""
+    K = nn_idx.shape[1]
     keep = jnp.arange(K)[None, :] < least_edge_num
     valid = keep | (nn_dist < radius ** 2)
     nn_idx = jnp.where(valid, nn_idx, -1)
@@ -105,16 +128,7 @@ def connectivity_from_trajectory(
     else:
         nn_dist, nn_idx = knn(traj, traj, k=K, exclude_self=True)
 
-    keep = jnp.arange(K)[None, :] < least_edge_num
-    valid = keep | (nn_dist < radius ** 2)
-    nn_idx = jnp.where(valid, nn_idx, -1)
-    masked = jnp.where(valid, nn_dist, jnp.inf)
-    finite = jnp.where(jnp.isfinite(masked), masked, 0.0)
-    denom = jnp.sum(finite) / jnp.maximum(jnp.sum(valid), 1)
-    w = jnp.exp(-masked / jnp.maximum(denom, 1e-12))
-    w = jnp.where(valid, w, 0.0)
-    w = w / jnp.maximum(jnp.sum(w, axis=-1, keepdims=True), 1e-12)
-    return Connectivity(nn_idx=nn_idx.astype(jnp.int32), weight=w)
+    return _finalize_connectivity(nn_dist, nn_idx, radius, least_edge_num)
 
 
 def connectivity_from_mesh_edges(

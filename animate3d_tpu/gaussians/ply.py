@@ -93,8 +93,8 @@ def write_gaussian_ply(path: str, state: GaussianState) -> None:
              + [f"scale_{i}" for i in range(3)]
              + [f"rot_{i}" for i in range(4)])
     data = np.concatenate([xyz, normals, f_dc, f_rest, opacity, scaling, rotation], axis=1)
-    rec = np.core.records.fromarrays(data.T.astype(np.float32), names=props,
-                                     formats=["f4"] * len(props))
+    rec = np.rec.fromarrays(data.T.astype(np.float32), names=props,
+                            formats=["f4"] * len(props))
     with open(path, "wb") as f:
         header = ["ply", "format binary_little_endian 1.0", f"element vertex {n}"]
         header += [f"property float {p}" for p in props]

@@ -263,7 +263,13 @@ def _flash_kernel_wholek(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale: float,
         # — unreachable for trained nets (|logit| ≲ 30); the clamp (fused
         # into the exp2 pass, not a separate sweep) keeps adversarial inputs
         # finite, and Σp ≤ Sk·2^110 = 2^122 stays representable. Exact (same
-        # float ratios) whenever the clamp doesn't bind.
+        # float ratios) whenever the clamp doesn't bind. Two OOD-only
+        # deviations from the row-max path: (a) when the clamp binds, the
+        # ratios among clamped logits flatten; (b) a row whose logits are ALL
+        # below ~−126 base-2 (~−87 nats) underflows every p to 0 and returns
+        # output 0 via the l_safe floor, where the row-max path would still
+        # be exact. The backward kernels apply the same clamp so fwd/bwd stay
+        # consistent in regime (a).
         m = jnp.zeros((q.shape[0], 1), jnp.float32)
         p = jnp.exp2(jnp.minimum(s, 110.0))
     else:
@@ -291,8 +297,9 @@ def _flash_attention_fwd_impl(
     # 16.6 ms at L0) — as long as the (block_q, Sk) f32 scores still fit
     # VMEM next to K/V (≤ 8 MB + 4 MB of ~16 MB/core)
     skip_max = sk >= 2048
-    if (skip_max and sq >= 512 and kv_bytes <= 4 * 1024 * 1024
-            and 512 * sk * 4 <= 8 * 1024 * 1024):
+    bumped_512 = (skip_max and sq >= 512 and kv_bytes <= 4 * 1024 * 1024
+                  and 512 * sk * 4 <= 8 * 1024 * 1024)
+    if bumped_512:
         block_q = 512
     # fold batch and heads; pad D to lane width, S to block multiples
     qf = _pad_to(_pad_to(q.reshape(b * h, sq, d), 2, 128), 1, block_q)
@@ -317,8 +324,11 @@ def _flash_attention_fwd_impl(
     # skip-max blocks were sized to the same total above)
     kv_bytes = 2 * sk * dp * kf.dtype.itemsize
     score_bytes = block_q * sk * 4
+    # the relaxed 8 MB score budget was sized for the auto-bumped skip-max
+    # 512-row blocks (whose kv fits 4 MB by construction); a caller-supplied
+    # block_q=512 keeps the conservative 4 MB gate (ADVICE r4)
     if kv_bytes <= 4 * 1024 * 1024 and score_bytes <= 8 * 1024 * 1024 and (
-            block_q == 512 or score_bytes <= 4 * 1024 * 1024):
+            bumped_512 or score_bytes <= 4 * 1024 * 1024):
         out, lse = pl.pallas_call(
             functools.partial(_flash_kernel_wholek, scale=scale,
                               skip_max=skip_max),
@@ -405,11 +415,14 @@ def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
 
     # fwd's VPU-pass trick (see _flash_kernel_wholek): fold scale·log2(e)
     # into the (BQ, D) q rows instead of multiplying the (BQ, BK) scores,
-    # and rebuild p with native exp2 against the base-2 lse
+    # and rebuild p with native exp2 against the base-2 lse. The 110-clamp
+    # mirrors the skip-max forward so a bound clamp can't overflow the
+    # rebuilt p to inf here (it only binds past ~76-nat logits, where the
+    # row-max forward regime is equally OOD).
     log2e = 1.4426950408889634
     qs = (q.astype(jnp.float32) * (scale * log2e)).astype(q.dtype)
     s2 = jnp.dot(qs, k_blk.T, preferred_element_type=jnp.float32)
-    p = jnp.exp2(s2 - lse * log2e)
+    p = jnp.exp2(jnp.minimum(s2, 110.0) - lse * log2e)
     dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)
     ds = p * (dp - delta)
     acc_ref[:] = acc_ref[:] + jnp.dot(
@@ -437,11 +450,11 @@ def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     lse = lse_ref[0]  # (BQ, 1)
     delta = delta_ref[0]  # (BQ, 1)
 
-    # same scale-fold + exp2 rebuild as the dq kernel
+    # same scale-fold + exp2 rebuild (and fwd-matching 110-clamp) as dq
     log2e = 1.4426950408889634
     qs = (q.astype(jnp.float32) * (scale * log2e)).astype(q.dtype)
     s2 = jnp.dot(qs, k_blk.T, preferred_element_type=jnp.float32)
-    p = jnp.exp2(s2 - lse * log2e)  # (BQ, BK)
+    p = jnp.exp2(jnp.minimum(s2, 110.0) - lse * log2e)  # (BQ, BK)
     dv_acc[:] = dv_acc[:] + jnp.dot(p.astype(do.dtype).T, do,
                                     preferred_element_type=jnp.float32)
     dp = jnp.dot(do, v_blk.T, preferred_element_type=jnp.float32)

@@ -14,6 +14,14 @@ Expected artifact families (reference inference.py:63-73,198-223):
   * h94/IP-Adapter                        (models/ip-adapter_sd15.bin + image_encoder)
   * animate3d_motion_modules.ckpt         (the released trained motion modules)
 
+One-command validation for an artifact-bearing host (converts, audits keys,
+golden denoise step, then an end-to-end short DDIM sample through the public
+CLI writing <output>/smoke_sample/sample/0-sample.gif — pass the real 4-view
+conditioning renders via --smoke_images to eyeball against the reference):
+
+  python scripts/convert_weights.py --all pretrained_models/ --output converted/ \
+      --smoke --smoke_images renders/four_view/ --smoke_steps 25
+
 Explicit mode:
 
   python scripts/convert_weights.py \
@@ -140,6 +148,27 @@ def main() -> None:
     parser.add_argument("--output", required=True)
     parser.add_argument("--skip_validate", action="store_true",
                         help="convert only (skip the golden denoise step)")
+    parser.add_argument("--smoke", action="store_true",
+                        help="after converting, run a short DDIM sample "
+                             "through the bundle and write a 4-view GIF + "
+                             "smoke stats into parity_report.json (the eyes-"
+                             "on check the reference does at "
+                             "inference.py:198-223 after its key audit)")
+    parser.add_argument("--smoke_images", default=None, metavar="DIR",
+                        help="directory with the 4 conditioning renders "
+                             "(0.png..3.png) for --smoke; synthetic images "
+                             "are generated when omitted")
+    parser.add_argument("--smoke_steps", type=int, default=2,
+                        help="DDIM steps for --smoke (default 2)")
+    parser.add_argument("--smoke_prompt", default="a dragon head roaring",
+                        help="text prompt for --smoke")
+    parser.add_argument("--smoke_res", type=int, default=256,
+                        help="W=H for --smoke (default 256)")
+    parser.add_argument("--smoke_frames", type=int, default=16,
+                        help="video length for --smoke (default 16)")
+    parser.add_argument("--smoke_model_size", default=None,
+                        choices=[None, "full", "tiny"],
+                        help="model size override for --smoke (tests)")
     args = parser.parse_args()
 
     if args.all:
@@ -161,13 +190,63 @@ def main() -> None:
         import json
 
         report = validate_bundle(args.output, audit)
+        if args.smoke:
+            report["smoke"] = smoke_sample(args)
         path = os.path.join(args.output, "parity_report.json")
         with open(path, "w") as f:
             json.dump(report, f, indent=1)
         print(f"[validate] golden denoise "
               f"{'OK' if report['ok'] else 'FAILED'}; report at {path}")
-        if not report["ok"]:
+        if not report["ok"] or not report.get("smoke", {}).get("ok", True):
             raise SystemExit(1)
+
+
+def smoke_sample(args) -> dict:
+    """End-to-end DDIM sample through the converted bundle via the public
+    inference CLI (tokenizer → text encoder → UNet → VAE decode → GIF), the
+    one-command validation an artifact-bearing host runs unmodified
+    (reference inference.py:198-223 sampling after the key audit)."""
+    import numpy as np
+    from PIL import Image
+
+    from animate3d_tpu.cli.inference import main as inference_main
+
+    res = args.smoke_res
+    cond_dir = args.smoke_images
+    if cond_dir is None:  # synthetic 4-view conditioning renders
+        cond_dir = os.path.join(args.output, "smoke_cond")
+        os.makedirs(cond_dir, exist_ok=True)
+        yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / (res - 1.0)
+        for i in range(4):
+            img = np.stack([0.5 + 0.5 * np.cos(6.28 * (xx + i / 4.0)),
+                            yy, 1.0 - yy], axis=-1)
+            a = (((xx - 0.5) ** 2 + (yy - 0.5) ** 2) < 0.16) * 255.0
+            rgba = np.concatenate([img * 255.0, a[..., None]], axis=-1)
+            Image.fromarray(rgba.astype(np.uint8), "RGBA").save(
+                os.path.join(cond_dir, f"{i}.png"))
+
+    out_dir = os.path.join(args.output, "smoke_sample")
+    argv = [
+        "--ip_image_root", cond_dir, "--output_dir", out_dir,
+        "--flax_params", args.output, "--prompt", args.smoke_prompt,
+        "--steps", str(args.smoke_steps), "--freeinit_iters", "1",
+        "-W", str(res), "-H", str(res), "-L", str(args.smoke_frames),
+        "--seed", "0",
+    ]
+    if args.smoke_model_size:
+        argv += ["--model_size", args.smoke_model_size]
+    inference_main(argv)
+    gif = os.path.join(out_dir, "sample", "0-sample.gif")
+    rec = {"gif": gif, "ok": False}
+    if os.path.exists(gif):
+        im = Image.open(gif)
+        frames = getattr(im, "n_frames", 1)
+        arr = np.asarray(im.convert("RGB"), np.float32)
+        rec.update(ok=bool(np.isfinite(arr).all() and arr.std() > 1.0),
+                   n_frames=int(frames), frame_size=list(im.size),
+                   pixel_std=float(arr.std()))
+    print(f"[smoke] sample {'OK' if rec['ok'] else 'FAILED'}: {gif}")
+    return rec
 
 
 def convert_bundle(args) -> dict:

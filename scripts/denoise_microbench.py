@@ -175,8 +175,8 @@ def bench_qkv(batch=32, seq=4096, ch=320, fused=False):
 def main(argv):
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_cache_animate3d_tpu")
+    from animate3d_tpu.core.runtime import configure_persistent_cache
+    configure_persistent_cache()
     sel = set(argv) if argv else None
     want = lambda name: sel is None or name in sel
     # merge into the existing results so partial runs (one component at a

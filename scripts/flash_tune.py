@@ -269,9 +269,8 @@ def bench_temporal(results, quick=False):
 def main():
     import jax
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_cache_animate3d_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from animate3d_tpu.core.runtime import configure_persistent_cache
+    configure_persistent_cache()
     quick = "--quick" in sys.argv
     results = {}
     if "--cross-only" not in sys.argv:

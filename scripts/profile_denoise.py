@@ -74,8 +74,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_cache_animate3d_tpu")
+    from animate3d_tpu.core.runtime import configure_persistent_cache
+    configure_persistent_cache()
 
     if smoke:
         a = jnp.asarray(np.random.default_rng(0).normal(size=(2048, 2048)),

@@ -48,9 +48,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    jax.config.update("jax_compilation_cache_dir",
-                      "/tmp/jax_cache_animate3d_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from animate3d_tpu.core.runtime import configure_persistent_cache
+    configure_persistent_cache()
 
     from animate3d_tpu.data.cameras import (fixed_view_cameras,
                                             gs_cameras_from_batch)

@@ -24,7 +24,8 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 # persistent compile cache: the test box is a single CPU core, so re-compiles
 # dominate wall-clock without it
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_animate3d_cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/animate3d_tpu/jax_cache_cpu"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 

@@ -254,3 +254,41 @@ def test_discover_artifacts(tmp_path):
     assert found["motion_adapter_dir"] == str(ma)
     assert found["ip_adapter_dir"] == str(ip)
     assert found["animate3d_ckpt"] == str(root / "animate3d_motion_modules.ckpt")
+
+
+def test_smoke_sample_tiny(tmp_path):
+    """convert_weights --smoke plumbing: given a converted bundle, the smoke
+    runs an end-to-end DDIM sample via the public CLI and reports GIF stats
+    (the reference's eyes-on check after inference.py:198-223's audit)."""
+    import argparse
+    import importlib.util
+
+    import jax
+    import jax.numpy as jnp
+
+    spec = importlib.util.spec_from_file_location(
+        "convert_weights",
+        os.path.join(os.path.dirname(__file__), "..", "scripts",
+                     "convert_weights.py"))
+    cw = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cw)
+
+    from animate3d_tpu.cli.inference import build_models
+    from animate3d_tpu.core.checkpoint import save_checkpoint
+
+    unet, _, _, _ = build_models("tiny", 4, dtype=jnp.float32)
+    ucfg = unet.config
+    params = jax.jit(unet.init)(
+        jax.random.PRNGKey(1),
+        jnp.zeros((4, 2, 8, 8, 4)), jnp.asarray(0.0),
+        jnp.zeros((4, 77, ucfg.cross_attention_dim)), jnp.zeros((4, 16)),
+        jnp.zeros((4, ucfg.image_embed_dim)))
+    out = tmp_path / "converted"
+    save_checkpoint(str(out / "unet"), 0, params)
+
+    args = argparse.Namespace(
+        output=str(out), smoke_images=None, smoke_steps=1, smoke_res=32,
+        smoke_frames=2, smoke_model_size="tiny", smoke_prompt="")
+    rec = cw.smoke_sample(args)
+    assert rec["ok"], rec
+    assert rec["n_frames"] >= 1 and os.path.exists(rec["gif"])

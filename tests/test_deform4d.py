@@ -210,6 +210,20 @@ class TestARAPVariants:
         np.testing.assert_allclose(np.asarray(conn.weight).sum(-1), 1.0,
                                    atol=1e-5)
 
+    def test_points_connectivity_floyd(self):
+        import jax.numpy as jnp
+        # chain of points: with graph_K=1 the geodesic K=2 neighbors of node 0
+        # must be the chain nodes 1 and 2 (not the euclidean-nearest off-chain
+        # point), matching the reference's floyd points branch (util.py:66-73)
+        pts = jnp.asarray([[[0, 0, 0], [1, 0, 0], [2, 0, 0], [3, 0, 0.0]]])
+        conn = arap.connectivity_from_points(pts, radius=10.0, K=2,
+                                             least_edge_num=1, mode="floyd",
+                                             graph_K=1)
+        assert conn.nn_idx.shape == (4, 2)
+        assert set(np.asarray(conn.nn_idx)[0].tolist()) == {1, 2}
+        np.testing.assert_allclose(np.asarray(conn.weight).sum(-1), 1.0,
+                                   atol=1e-5)
+
     def test_trajectory_connectivity_floyd(self):
         import jax.numpy as jnp
         rng = np.random.default_rng(1)
