@@ -26,13 +26,18 @@ out-projections biased) so torch→flax weight conversion is 1:1.
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from animate3d_tpu.ops.attention import multi_head_attention
+from animate3d_tpu.ops.attention import (
+    DP as _LANE,
+    flash_attention_padded,
+    multi_head_attention,
+    padded_flash_plan,
+)
 from animate3d_tpu.ops.geglu import geglu_ff
 from animate3d_tpu.models.embeddings import (
     add_temporal_positional_embedding,
@@ -80,6 +85,44 @@ def _shared_input_proj(x: jnp.ndarray, names, features: int, dtype) -> list:
     ]
 
 
+def _pad_head_cols(w: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(in, H·D) → (in, H·128): zero-pad each head's D output columns to the
+    lane width. Applied to q/k/v projection WEIGHTS so the projection matmul
+    itself emits the flash kernels' lane-padded layout — replacing the
+    measured ~11 ms/site of HBM pad/head-split-transpose/reshape around each
+    flash call (docs/denoise_profile.json) with ~1 ms of extra MXU work on
+    zero columns."""
+    in_dim, hd = w.shape
+    d = hd // num_heads
+    return jnp.pad(w.reshape(in_dim, num_heads, d),
+                   ((0, 0), (0, 0), (0, _LANE - d))).reshape(
+                       in_dim, num_heads * _LANE)
+
+
+def _pad_head_rows(w: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """(H·D, out) → (H·128, out): zero rows under each head's pad lanes, so
+    the out-projection consumes the kernels' padded output directly."""
+    hd, out = w.shape
+    d = hd // num_heads
+    return jnp.pad(w.reshape(num_heads, d, out),
+                   ((0, 0), (0, _LANE - d), (0, 0))).reshape(
+                       num_heads * _LANE, out)
+
+
+def _padded_head_proj(x: jnp.ndarray, names, channels: int, num_heads: int,
+                      dtype) -> list:
+    """:func:`_shared_input_proj` variant emitting lane-padded heads: each
+    result is (B, S, H·128) with head i's real D values at lanes
+    [i·128, i·128+D) and exact zeros elsewhere. Param tree identical."""
+    xd = x.astype(dtype)
+    return [
+        xd @ _pad_head_cols(
+            _ProjKernel(in_dim=x.shape[-1], features=channels,
+                        name=nm)().astype(dtype), num_heads)
+        for nm in names
+    ]
+
+
 class CrossViewSelfAttention(nn.Module):
     channels: int
     num_heads: int
@@ -99,11 +142,44 @@ class CrossViewSelfAttention(nn.Module):
         dense = lambda feats, use_bias, name: nn.Dense(
             feats, use_bias=use_bias, dtype=self.dtype, name=name
         )
+        proj_names = (("to_q", "to_k", "to_v", "to_q_i2v") if self.image_attn
+                      else ("to_q", "to_k", "to_v"))
+        if padded_flash_plan(b * f, n * l, n * l, c, self.num_heads):
+            # lane-padded fast path: projections emit the flash kernels'
+            # (B, S, H·128) layout directly; out-projections consume it via
+            # row-padded weights. Same params, same math (pad lanes are
+            # exact zeros), none of the HBM pad/transpose/reshape glue.
+            scale = (c // self.num_heads) ** -0.5
+            projs = _padded_head_proj(xr, proj_names, c, self.num_heads,
+                                      self.dtype)
+            q, k, v = projs[:3]
+            h = flash_attention_padded(q, k, v, self.num_heads, scale)
+            w0, b0 = _DenseParams(c, c, name="to_out_0")()
+            w0 = w0.astype(self.dtype)
+            out = h @ _pad_head_rows(w0, self.num_heads) + b0.astype(self.dtype)
+            if self.image_attn:
+                qi = projs[3]
+                cp = q.shape[-1]
+                k0 = k.reshape(b, f, n * l, cp)[:, 0]
+                v0 = v.reshape(b, f, n * l, cp)[:, 0]
+                k0 = jnp.broadcast_to(k0[:, None], (b, f, n * l, cp)).reshape(b * f, n * l, cp)
+                v0 = jnp.broadcast_to(v0[:, None], (b, f, n * l, cp)).reshape(b * f, n * l, cp)
+                hi = flash_attention_padded(qi, k0, v0, self.num_heads, scale)
+                wi, bi = _DenseParams(c, c, name="to_out_i2v",
+                                      kernel_init=nn.initializers.zeros)()
+                wi = wi.astype(self.dtype)
+                # reference order is to_out_0(h + to_out_i2v(hi))
+                # (attention_processor.py:424-430); the two chained linears
+                # fold into one padded-input matmul: hi @ (Wi2v_p · W0)
+                out = (out + hi @ (_pad_head_rows(wi, self.num_heads) @ w0)
+                       + bi.astype(self.dtype) @ w0)
+            h = out
+            return h.reshape(b, f, n, l, c).transpose(0, 2, 1, 3, 4).reshape(bnf, l, c)
+
         if self.image_attn:
-            q, k, v, qi = _shared_input_proj(
-                xr, ("to_q", "to_k", "to_v", "to_q_i2v"), c, self.dtype)
+            q, k, v, qi = _shared_input_proj(xr, proj_names, c, self.dtype)
         else:
-            q, k, v = _shared_input_proj(xr, ("to_q", "to_k", "to_v"), c, self.dtype)
+            q, k, v = _shared_input_proj(xr, proj_names, c, self.dtype)
         h = multi_head_attention(q, k, v, self.num_heads)
 
         if self.image_attn:
@@ -242,32 +318,56 @@ class SpatioTemporalAttention(nn.Module):
         h_t = multi_head_attention(q, k, v, self.num_heads)
         h_t = dense(c, True, "to_out_0")(h_t)
 
+        out_init = (nn.initializers.zeros if not self.use_alpha_blender
+                    else nn.initializers.lecun_normal())
+        scale = (c // self.num_heads) ** -0.5
+
         h_sp = None
         if self.spatial_attn:
-            qs, ks, vs = _shared_input_proj(
-                xs, ("to_q_sp", "to_k_sp", "to_v_sp"), c, self.dtype)
-            hs = multi_head_attention(qs, ks, vs, self.num_heads)
-            out_init = (nn.initializers.zeros if not self.use_alpha_blender
-                        else nn.initializers.lecun_normal())
-            hs = nn.Dense(c, use_bias=True, dtype=self.dtype, name="to_out_sp",
-                          kernel_init=out_init,
-                          bias_init=nn.initializers.zeros)(hs)
+            if padded_flash_plan(b * f, n * hw, n * hw, c, self.num_heads):
+                qs, ks, vs = _padded_head_proj(
+                    xs, ("to_q_sp", "to_k_sp", "to_v_sp"), c, self.num_heads,
+                    self.dtype)
+                hs_p = flash_attention_padded(qs, ks, vs, self.num_heads, scale)
+                ws, bs_ = _DenseParams(c, c, name="to_out_sp",
+                                       kernel_init=out_init)()
+                hs = (hs_p @ _pad_head_rows(ws.astype(self.dtype), self.num_heads)
+                      + bs_.astype(self.dtype))
+            else:
+                qs, ks, vs = _shared_input_proj(
+                    xs, ("to_q_sp", "to_k_sp", "to_v_sp"), c, self.dtype)
+                hs = multi_head_attention(qs, ks, vs, self.num_heads)
+                hs = nn.Dense(c, use_bias=True, dtype=self.dtype, name="to_out_sp",
+                              kernel_init=out_init,
+                              bias_init=nn.initializers.zeros)(hs)
             # (b f) (n h w) c -> (b n h w) f c
             h_sp = hs.reshape(b, f, n * hw, c).transpose(0, 2, 1, 3).reshape(bl, f, c)
 
         h_img = None
         if self.image_attn:
-            qi = dense(c, False, "to_q_i2v")(xi)
             x0 = xi.reshape(b * n, f, hw, c)[:, 0]  # first frame tokens
-            ki, vi = _shared_input_proj(x0, ("to_k_i2v", "to_v_i2v"), c, self.dtype)
-            ki = jnp.broadcast_to(ki[:, None], (b * n, f, hw, c)).reshape(b * n * f, hw, c)
-            vi = jnp.broadcast_to(vi[:, None], (b * n, f, hw, c)).reshape(b * n * f, hw, c)
-            hi = multi_head_attention(qi, ki, vi, self.num_heads)
-            out_init = (nn.initializers.zeros if not self.use_alpha_blender
-                        else nn.initializers.lecun_normal())
-            hi = nn.Dense(c, use_bias=True, dtype=self.dtype, name="to_out_i2v",
-                          kernel_init=out_init,
-                          bias_init=nn.initializers.zeros)(hi)
+            if padded_flash_plan(b * n * f, hw, hw, c, self.num_heads):
+                qi = _padded_head_proj(xi, ("to_q_i2v",), c, self.num_heads,
+                                       self.dtype)[0]
+                ki, vi = _padded_head_proj(
+                    x0, ("to_k_i2v", "to_v_i2v"), c, self.num_heads, self.dtype)
+                cp = qi.shape[-1]
+                ki = jnp.broadcast_to(ki[:, None], (b * n, f, hw, cp)).reshape(b * n * f, hw, cp)
+                vi = jnp.broadcast_to(vi[:, None], (b * n, f, hw, cp)).reshape(b * n * f, hw, cp)
+                hi_p = flash_attention_padded(qi, ki, vi, self.num_heads, scale)
+                wi, bi = _DenseParams(c, c, name="to_out_i2v",
+                                      kernel_init=out_init)()
+                hi = (hi_p @ _pad_head_rows(wi.astype(self.dtype), self.num_heads)
+                      + bi.astype(self.dtype))
+            else:
+                qi = dense(c, False, "to_q_i2v")(xi)
+                ki, vi = _shared_input_proj(x0, ("to_k_i2v", "to_v_i2v"), c, self.dtype)
+                ki = jnp.broadcast_to(ki[:, None], (b * n, f, hw, c)).reshape(b * n * f, hw, c)
+                vi = jnp.broadcast_to(vi[:, None], (b * n, f, hw, c)).reshape(b * n * f, hw, c)
+                hi = multi_head_attention(qi, ki, vi, self.num_heads)
+                hi = nn.Dense(c, use_bias=True, dtype=self.dtype, name="to_out_i2v",
+                              kernel_init=out_init,
+                              bias_init=nn.initializers.zeros)(hi)
             h_img = hi.reshape(b * n, f, hw, c).transpose(0, 2, 1, 3).reshape(bl, f, c)
 
         if not self.use_alpha_blender:
@@ -309,10 +409,11 @@ class _DenseParams(nn.Module):
 
     in_dim: int
     features: int
+    kernel_init: Any = nn.initializers.lecun_normal()
 
     @nn.compact
     def __call__(self):
-        k = self.param("kernel", nn.initializers.lecun_normal(),
+        k = self.param("kernel", self.kernel_init,
                        (self.in_dim, self.features))
         b = self.param("bias", nn.initializers.zeros, (self.features,))
         return k, b

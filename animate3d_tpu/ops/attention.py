@@ -556,6 +556,230 @@ def _flash_bwd(scale, res, g):
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Lane-padded merged-head flash attention ("(B, S, H·128)" layout)
+#
+# The production UNet attention layers project q/k/v with per-head
+# lane-padded weights (models/attention_layers.py::_padded_head_proj): the
+# projection matmul itself emits each head's D columns zero-padded to the
+# 128-lane width, so its (B, S, H·128) output IS the kernel-ready layout —
+# no HBM pad, no head-split transpose, no reshape copies (the xprof trace
+# measured ~166 ms/step of pad/transpose/reshape around the attention
+# sites, docs/denoise_profile.json). The kernels below are the SAME bodies
+# as the (B, H, S, D) path; only the BlockSpecs change: the flattened grid
+# index g enumerates (batch, head) and the index maps slice head g%H's 128
+# lanes off the last axis.
+# ---------------------------------------------------------------------------
+
+DP = 128  # lane width every padded head occupies in the merged layout
+
+
+def _flash_fwd_impl_merged(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, num_heads: int,
+    scale: float, block_q: int = 256, block_k: int = 512,
+) -> "Tuple[jnp.ndarray, jnp.ndarray]":
+    """(B, S, H·128) flash forward → (out (B, Sq, H·128), lse (B, Sq, H))."""
+    b, sq, chd = q.shape
+    h = num_heads
+    assert chd == h * DP, (chd, h)
+    sk = k.shape[1]
+    kv_bytes = 2 * sk * DP * k.dtype.itemsize
+    skip_max = sk >= 2048
+    bumped_512 = (skip_max and sq >= 512 and kv_bytes <= 4 * 1024 * 1024
+                  and 512 * sk * 4 <= 8 * 1024 * 1024)
+    if bumped_512:
+        block_q = 512
+    qf = _pad_to(q, 1, block_q)
+    sq_p = qf.shape[1]
+    interpret = jax.default_backend() != "tpu"
+    # lse stays in the flat (b·h, sq_p, 1) layout: a (…, h)-trailing layout
+    # would need a block last-dim of 1 ≠ h, which TPU tiling rejects; flat
+    # rows match the (B, H, S, D) path and the bwd row specs unchanged
+    out_shapes = [
+        jax.ShapeDtypeStruct((b, sq_p, chd), q.dtype),
+        jax.ShapeDtypeStruct((b * h, sq_p, 1), jnp.float32),
+    ]
+    score_bytes = block_q * sk * 4
+    wholek = (kv_bytes <= 4 * 1024 * 1024 and score_bytes <= 8 * 1024 * 1024
+              and (bumped_512 or score_bytes <= 4 * 1024 * 1024))
+    if not wholek and (-sk) % block_k:
+        # the streaming path partitions K (padded zero-keys would take
+        # softmax weight); whole-K loads it unpartitioned, so only the
+        # streaming fallback needs the divisibility
+        raise ValueError("flash_attention requires Sk % block_k == 0")
+    if wholek:
+        out, lse = pl.pallas_call(
+            functools.partial(_flash_kernel_wholek, scale=scale,
+                              skip_max=skip_max),
+            grid=(b * h, sq_p // block_q),
+            in_specs=[
+                pl.BlockSpec((1, block_q, DP), lambda g, j: (g // h, j, g % h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sk, DP), lambda g, j: (g // h, 0, g % h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, sk, DP), lambda g, j: (g // h, 0, g % h),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, DP), lambda g, j: (g // h, j, g % h),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, block_q, 1), lambda g, j: (g, j, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(qf, k, v)
+        return out[:, :sq], lse[:, :sq]
+
+    out, lse = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale),
+        grid=(b * h, sq_p // block_q, sk // block_k),
+        in_specs=[
+            pl.BlockSpec((1, block_q, DP), lambda g, j, kk: (g // h, j, g % h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, DP), lambda g, j, kk: (g // h, kk, g % h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, DP), lambda g, j, kk: (g // h, kk, g % h),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, DP), lambda g, j, kk: (g // h, j, g % h),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda g, j, kk: (g, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((block_q, DP), jnp.float32),  # acc
+            pltpu.VMEM((block_q, 1), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 1), jnp.float32),  # running denom
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qf, k, v)
+    return out[:, :sq], lse[:, :sq]
+
+
+def _flash_bwd_impl_merged(q, k, v, out, lse, g, num_heads: int, scale: float,
+                           block_q: int = 256, block_k: int = 512):
+    """(dq, dk, dv) in the merged (B, S, H·128) layout."""
+    b, sq, chd = q.shape
+    h = num_heads
+    sk = k.shape[1]
+    # delta per (row, head) then to the flat (b·h, sq, 1) row layout the
+    # kernels' row specs expect (pad lanes are exact zeros, see fwd)
+    delta = jnp.sum(
+        (g.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+            b, sq, h, DP), axis=-1)
+    delta = delta.transpose(0, 2, 1).reshape(b * h, sq, 1)
+
+    qf = _pad_to(q, 1, block_q)
+    dof = _pad_to(g.astype(q.dtype), 1, block_q)
+    lsef = _pad_to(lse, 1, block_q)
+    deltaf = _pad_to(delta, 1, block_q)
+    sq_p = qf.shape[1]
+    interpret = jax.default_backend() != "tpu"
+    nq = sq_p // block_q
+    nk = sk // block_k
+    if (-sk) % block_k:
+        raise ValueError("flash bwd requires Sk % block_k == 0")
+
+    q_spec = pl.BlockSpec((1, block_q, DP), lambda g_, j, kk: (g_ // h, j, g_ % h),
+                          memory_space=pltpu.VMEM)
+    kv_spec = pl.BlockSpec((1, block_k, DP), lambda g_, j, kk: (g_ // h, kk, g_ % h),
+                           memory_space=pltpu.VMEM)
+    row_spec = pl.BlockSpec((1, block_q, 1), lambda g_, j, kk: (g_, j, 0),
+                            memory_space=pltpu.VMEM)
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, scale=scale),
+        grid=(b * h, nq, nk),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, sq_p, chd), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, DP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, k, v, dof, lsef, deltaf)
+
+    q_spec2 = pl.BlockSpec((1, block_q, DP), lambda g_, kk, j: (g_ // h, j, g_ % h),
+                           memory_space=pltpu.VMEM)
+    kv_spec2 = pl.BlockSpec((1, block_k, DP), lambda g_, kk, j: (g_ // h, kk, g_ % h),
+                            memory_space=pltpu.VMEM)
+    row_spec2 = pl.BlockSpec((1, block_q, 1), lambda g_, kk, j: (g_, j, 0),
+                             memory_space=pltpu.VMEM)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, scale=scale),
+        grid=(b * h, nk, nq),
+        in_specs=[q_spec2, kv_spec2, kv_spec2, q_spec2, row_spec2, row_spec2],
+        out_specs=[kv_spec2, kv_spec2],
+        out_shape=[jax.ShapeDtypeStruct((b, sk, chd), k.dtype),
+                   jax.ShapeDtypeStruct((b, sk, chd), v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, DP), jnp.float32),
+                        pltpu.VMEM((block_k, DP), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
+    )(qf, k, v, dof, lsef, deltaf)
+    return dq[:, :sq], dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_padded(q, k, v, num_heads: int, scale: float):
+    """Flash attention on lane-padded merged heads.
+
+    q (B, Sq, H·128), k/v (B, Sk, H·128) where head i's D real values occupy
+    lanes [i·128, i·128+D) and the rest are zeros (produced directly by
+    lane-padded projection weights) → out (B, Sq, H·128) with the same
+    convention (pad lanes exactly zero). Differentiable; numerics identical
+    to the (B, H, S, D) path — zero lanes contribute nothing to any dot."""
+    out, _ = _flash_fwd_impl_merged(q, k, v, num_heads, scale)
+    return out
+
+
+def _flash_padded_fwd(q, k, v, num_heads, scale):
+    out, lse = _flash_fwd_impl_merged(q, k, v, num_heads, scale)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_padded_bwd(num_heads, scale, res, g):
+    q, k, v, out, lse = res
+    return _flash_bwd_impl_merged(q, k, v, out, lse, g, num_heads, scale)
+
+
+flash_attention_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
+
+
+def padded_flash_plan(batch: int, sq: int, sk: int, channels: int,
+                      num_heads: int) -> bool:
+    """True when ``multi_head_attention("auto")`` would route this shape to
+    the Pallas flash kernels on this backend — callers then pre-pad heads via
+    projection weights and call :func:`flash_attention_padded`, skipping the
+    HBM pad/head-split glue entirely. Must stay in lockstep with the auto
+    routing below (incl. the thread-local overrides: an ``attention_backend``
+    override other than flash/auto, or an ``sp_ring`` scope whose ring would
+    take this sequence, disable the padded path — those paths consume the
+    unpadded (B, S, C) layout)."""
+    d = channels // num_heads
+    if d >= DP or jax.default_backend() != "tpu":
+        return False
+    override = getattr(_backend_override, "name", None)
+    if override not in (None, "flash", "auto"):
+        return False
+    sp = getattr(_backend_override, "sp", None)
+    if sp is not None:
+        mesh, axis_name, min_seq = sp
+        n_sp = mesh.shape[axis_name]
+        if sq == sk and sq % n_sp == 0 and sq >= max(2 * n_sp, min_seq):
+            return False
+    if sk % 512 != 0:
+        return False
+    logits_bytes = batch * num_heads * sq * sk * 4
+    return override == "flash" or logits_bytes > 512 * 1024 * 1024
+
+
 def _flash_supported(q: jnp.ndarray, k: jnp.ndarray, block_k: int = 512) -> bool:
     # K/V stream through VMEM one block at a time; only the block sizes must
     # divide (zero-padded keys would otherwise take softmax weight)

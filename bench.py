@@ -127,12 +127,35 @@ def bench_denoise_step():
     # buffers exceed HBM (the full-batch XLA L0 logits are ~16 GB), so count
     # at HALF batch (4 = one view group, everything in the UNet is linear in
     # batch) and double.
-    from animate3d_tpu.ops.attention import attention_backend
+    # The count is a pure function of the model config + input shapes, so it
+    # is memoized to disk: re-deriving it costs a full re-trace + remote
+    # compile (~2 min of the section's wall) for a number that only moves
+    # when the model does.
+    import hashlib
 
-    half = lambda p, x: model.apply(p, x, t, text[:4], camera[:4],
-                                    image_embeds[:4])
-    with attention_backend("xla"):
-        tflops = 2.0 * program_tflops(half, params, latents[:4])
+    flops_key = hashlib.sha256(repr(
+        (cfg, bn, f, h, w, "xla-routed-half-batch-x2")).encode()).hexdigest()[:16]
+    cache_path = "docs/denoise_flops.json"
+    cached = {}
+    try:
+        with open(cache_path) as fh:
+            cached = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    if cached.get("key") == flops_key:
+        tflops = cached["tflops"]
+    else:
+        from animate3d_tpu.ops.attention import attention_backend
+
+        half = lambda p, x: model.apply(p, x, t, text[:4], camera[:4],
+                                        image_embeds[:4])
+        with attention_backend("xla"):
+            tflops = 2.0 * program_tflops(half, params, latents[:4])
+        if tflops:
+            with open(cache_path, "w") as fh:
+                json.dump({"key": flops_key, "tflops": tflops,
+                           "note": "logical TFLOP/step, xla-routed count "
+                                   "(see bench_denoise_step)"}, fh, indent=1)
     achieved = tflops / sec if tflops else 0.0
     return sec, achieved, achieved / device_peak_tflops()
 
@@ -496,11 +519,11 @@ def _section_specs():
                       900),
         "trainer": (lambda: {"mvvdm_trainer_sec_per_step":
                              round(bench_trainer_step(), 4)}, 1200),
-        "raster": (lambda: {"raster_fps_512":
-                            round(bench_raster_fps(), 1)}, 600),
         "quality": (lambda: {"recon_synthetic_gt_psnr":
                              round(bench_recon_quality(), 2)}, 900),
         "binning": (bench_binning_quality, 600),
+        "raster": (lambda: {"raster_fps_512":
+                            round(bench_raster_fps(), 1)}, 600),
     }
 
 
@@ -558,7 +581,7 @@ class _Worker:
         self.proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
              "--worker", ",".join(names)],
-            stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+            stdout=subprocess.PIPE, stderr=sys.stderr, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)))
         self.q: "queue.Queue[str | None]" = queue.Queue()
 

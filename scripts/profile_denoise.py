@@ -27,6 +27,7 @@ os.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 TRACE_DIR = "/tmp/animate3d_profile"
+N_TRACE_STEPS = 2  # steps inside the trace (keep in sync with _capture n=)
 
 
 def _capture(step, args, n=3):
@@ -48,29 +49,31 @@ def _find_xspace():
 
 
 def _parse_xspace(path):
-    """Reduce the XSpace proto to per-op self-times on device lines.
+    """Reduce the XSpace proto to per-op stats rows (list of dicts).
 
-    Uses xprof's own proto bindings when importable; the visitor walks every
-    device plane (TPU core) and sums durations per event name on the
-    XLA-op line.
+    xprof's framework_op_stats tool emits a gviz DataTable JSON (despite the
+    csv tqx hint); flatten it to [{col_id: value}].
     """
     from xprof.convert import raw_to_tool_data as rttd
 
     data, _ = rttd.xspace_to_tool_data([path], "framework_op_stats",
                                        {"tqx": "out:csv;"})
-    return data
-
-
-def _rollup_csv(csv_text):
-    import csv
-    import io
-
-    rows = list(csv.DictReader(io.StringIO(csv_text)))
+    if isinstance(data, bytes):
+        data = data.decode("utf-8", errors="replace")
+    tables = json.loads(data)
+    tbl = tables[0] if isinstance(tables, list) else tables
+    cols = [c["id"] for c in tbl["cols"]]
+    rows = []
+    for r in tbl["rows"]:
+        rows.append({cid: (cell or {}).get("v")
+                     for cid, cell in zip(cols, r["c"])})
     return rows
 
 
 def main():
     smoke = "--smoke" in sys.argv
+    if "--parse-only" in sys.argv:  # reuse the latest captured xspace
+        return _reduce_and_write(smoke)
     import jax
     import jax.numpy as jnp
 
@@ -104,44 +107,54 @@ def main():
                                                 image_embeds))
         _capture(step, (params, latents), n=2)
 
+    return _reduce_and_write(smoke)
+
+
+def _reduce_and_write(smoke):
     path = _find_xspace()
     if path is None:
         print("NO XSPACE captured — device tracing unavailable", flush=True)
         return 1
     print(f"xspace: {path} ({os.path.getsize(path)/1e6:.1f} MB)", flush=True)
-    csv_text = _parse_xspace(path)
-    rows = _rollup_csv(csv_text)
-    # keep device-side rows; rank by total self time
-    def fget(r, *names):
-        for n in names:
-            if n in r and r[n]:
-                return r[n]
-        return None
-
+    rows = _parse_xspace(path)
+    n_steps = N_TRACE_STEPS
     dev = []
     for r in rows:
-        host = fget(r, "Host/device", "host_or_device", "Device")
-        if host and "evice" not in str(host):
+        if str(r.get("host_or_device", "")).lower() != "device":
             continue
-        t_us = fget(r, "Total self-time (us)", "total_self_time_us",
-                    "Self-time (us)", "self_time_us")
-        if t_us is None:
+        if r.get("total_self_time") is None:
             continue
         dev.append({
-            "op": fget(r, "Operation", "op_name", "Name"),
-            "type": fget(r, "Type", "op_type", "Category"),
-            "self_us": float(str(t_us).replace(",", "")),
-            "occurrences": fget(r, "#Occurrences", "occurrences"),
+            "op": r.get("operation"),
+            "type": r.get("type"),
+            "self_us": float(r["total_self_time"]),
+            "occurrences": r.get("occurrences"),
+            "pct": round(float(r.get(
+                "device_total_self_time_percent", 0.0)) * 100.0, 2),
+            "flop_rate": r.get("measured_flop_rate"),
+            "bound_by": r.get("bound_by"),
         })
     dev.sort(key=lambda d: -d["self_us"])
     by_type = {}
     for d in dev:
         by_type[d["type"]] = by_type.get(d["type"], 0.0) + d["self_us"]
+    # module-level rollup: attribute each op to its outermost UNet submodule
+    by_module = {}
+    for d in dev:
+        name = str(d["op"])
+        mod = "other"
+        if "MVMotionUNet/" in name:
+            mod = name.split("MVMotionUNet/")[1].split("/")[0]
+        by_module[mod] = by_module.get(mod, 0.0) + d["self_us"]
     out = {
+        "n_trace_steps": n_steps,
         "total_device_us": round(sum(d["self_us"] for d in dev), 1),
+        "per_step_ms": round(sum(d["self_us"] for d in dev) / n_steps / 1e3, 2),
         "by_type_us": {k: round(v, 1) for k, v in sorted(
             by_type.items(), key=lambda kv: -kv[1])},
-        "top_ops": dev[:60],
+        "by_module_us": {k: round(v, 1) for k, v in sorted(
+            by_module.items(), key=lambda kv: -kv[1])[:40]},
+        "top_ops": dev[:80],
     }
     dst = "docs/denoise_profile.json"
     if smoke:

@@ -387,3 +387,120 @@ class TestFusedGEGLU:
         for a, b_, name in zip(gr, gf, ("dx", "dw1", "db1", "dw2", "db2")):
             np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                        atol=2e-3, rtol=2e-3, err_msg=name)
+
+
+class TestPaddedFlash:
+    """Lane-padded merged-head flash path (flash_attention_padded +
+    attention_layers._padded_head_proj): same math as the (B, H, S, D)
+    path, no HBM pad/head-split glue (docs/denoise_profile.json)."""
+
+    def _mk(self, rng, b, s, h, d, dp=128):
+        from animate3d_tpu.ops import attention as A
+
+        x = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+        xp = jnp.pad(x.reshape(b, s, h, d), ((0, 0), (0, 0), (0, 0),
+                                             (0, dp - d))).reshape(b, s, h * dp)
+        return x, xp
+
+    def test_forward_matches_xla(self, rng):
+        from animate3d_tpu.ops import attention as A
+
+        b, s, h, d = 2, 512, 2, 24
+        q, qp = self._mk(rng, b, s, h, d)
+        k, kp = self._mk(rng, b, s, h, d)
+        v, vp = self._mk(rng, b, s, h, d)
+        scale = d ** -0.5
+        ref = A.multi_head_attention(q, k, v, h, backend="xla")
+        out_p = A.flash_attention_padded(qp, kp, vp, h, scale)
+        out = out_p.reshape(b, s, h, A.DP)[..., :d].reshape(b, s, h * d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-4)
+        # pad lanes must be exact zeros (the row-padded out-projection and
+        # the backward delta both rely on it)
+        pads = np.asarray(out_p.reshape(b, s, h, A.DP)[..., d:])
+        assert (pads == 0).all()
+
+    def test_gradients_match_xla(self, rng):
+        from animate3d_tpu.ops import attention as A
+
+        b, s, h, d = 1, 512, 2, 24
+        q, _ = self._mk(rng, b, s, h, d)
+        k, _ = self._mk(rng, b, s, h, d)
+        v, _ = self._mk(rng, b, s, h, d)
+        scale = d ** -0.5
+        tgt = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+
+        def pad(x):
+            return jnp.pad(x.reshape(b, s, h, d),
+                           ((0, 0), (0, 0), (0, 0), (0, A.DP - d))
+                           ).reshape(b, s, h * A.DP)
+
+        def loss_padded(q, k, v):
+            o = A.flash_attention_padded(pad(q), pad(k), pad(v), h, scale)
+            o = o.reshape(b, s, h, A.DP)[..., :d].reshape(b, s, h * d)
+            return jnp.sum((o - tgt) ** 2)
+
+        def loss_ref(q, k, v):
+            o = A.multi_head_attention(q, k, v, h, backend="xla")
+            return jnp.sum((o - tgt) ** 2)
+
+        g_p = jax.grad(loss_padded, argnums=(0, 1, 2))(q, k, v)
+        g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_ in zip(g_p, g_r):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-3, rtol=1e-3)
+
+    def test_cross_view_layer_padded_path_matches(self, rng, monkeypatch):
+        """CrossViewSelfAttention with the padded plan forced on (interpret-
+        mode kernels on CPU): output must match the unpadded path with the
+        SAME params, including the folded to_out_0(h + to_out_i2v(hi))."""
+        from animate3d_tpu.models import attention_layers as L
+
+        b, n, f, l, c, heads = 1, 2, 2, 256, 48, 2
+        x = jnp.asarray(rng.normal(size=(b * n * f, l, c)), jnp.float32)
+        layer = L.CrossViewSelfAttention(channels=c, num_heads=heads,
+                                         num_views=n, image_attn=True)
+        params = layer.init(jax.random.PRNGKey(0), x, f)
+        ref = layer.apply(params, x, f)
+        monkeypatch.setattr(L, "padded_flash_plan", lambda *a: True)
+        out = layer.apply(params, x, f)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-4, rtol=2e-3)
+
+    def test_spatiotemporal_layer_padded_path_matches(self, rng, monkeypatch):
+        from animate3d_tpu.models import attention_layers as L
+
+        b, n, f, hgt, wid, c, heads = 1, 2, 2, 16, 16, 48, 2
+        hw = hgt * wid
+        x = jnp.asarray(rng.normal(size=(b * n * hw, f, c)), jnp.float32)
+        layer = L.SpatioTemporalAttention(channels=c, num_heads=heads,
+                                          num_views=n, spatial_attn=True,
+                                          image_attn=True)
+        params = layer.init(jax.random.PRNGKey(0), x, hgt, wid)
+        ref = layer.apply(params, x, hgt, wid)
+        monkeypatch.setattr(L, "padded_flash_plan", lambda *a: True)
+        out = layer.apply(params, x, hgt, wid)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-4, rtol=2e-3)
+
+    def test_param_tree_identical_under_plan(self, rng, monkeypatch):
+        """Init under plan=True and plan=False must declare the SAME param
+        tree (checkpoint compatibility: nn.Dense vs _DenseParams parity)."""
+        from animate3d_tpu.models import attention_layers as L
+
+        b, n, f, l, c, heads = 1, 2, 2, 256, 48, 2
+        x = jnp.asarray(rng.normal(size=(b * n * f, l, c)), jnp.float32)
+        layer = L.CrossViewSelfAttention(channels=c, num_heads=heads,
+                                         num_views=n, image_attn=True)
+        p_off = layer.init(jax.random.PRNGKey(0), x, f)
+        monkeypatch.setattr(L, "padded_flash_plan", lambda *a: True)
+        p_on = layer.init(jax.random.PRNGKey(0), x, f)
+        flat_off = jax.tree_util.tree_leaves_with_path(p_off)
+        flat_on = {jax.tree_util.keystr(kp): v
+                   for kp, v in jax.tree_util.tree_leaves_with_path(p_on)}
+        assert set(flat_on) == {jax.tree_util.keystr(kp)
+                                for kp, _ in flat_off}
+        for kp, v in flat_off:
+            np.testing.assert_array_equal(
+                np.asarray(v), np.asarray(flat_on[jax.tree_util.keystr(kp)]),
+                err_msg=jax.tree_util.keystr(kp))
