@@ -45,30 +45,33 @@ def chain_bench(step_fn, x0, iters: int, consts=None):
 
     fn = step_fn if consts is not None else (lambda c, x: step_fn(x))
 
-    def make(n):
-        @jax.jit
-        def run(c, x):
-            def body(i, x):
-                y = fn(c, x)
-                return jax.tree_util.tree_map(
-                    lambda a, b: 0.999 * a + 0.001 * b.astype(a.dtype), x, y)
-            out = jax.lax.fori_loop(0, n, body, x)
-            return sum(jnp.sum(l.astype(jnp.float32))
-                       for l in jax.tree_util.tree_leaves(out))
-        return run
+    # ONE compiled program with the trip count as a TRACED argument (the
+    # fori_loop lowers to a dynamic while_loop): the two timing points are
+    # two calls of the same executable.  Compiling separate n=1 / n=1+iters
+    # programs doubled the cold-compile cost — >25 min each for the
+    # full-UNet chain through the remote compiler, which is what actually
+    # killed the denoise section in rounds 3-5 seeding runs.
+    @jax.jit
+    def run(c, x, n):
+        def body(i, x):
+            y = fn(c, x)
+            return jax.tree_util.tree_map(
+                lambda a, b: 0.999 * a + 0.001 * b.astype(a.dtype), x, y)
+        out = jax.lax.fori_loop(0, n, body, x)
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(out))
 
-    n1, n2 = 1, 1 + iters
-    r1, r2 = make(n1), make(n2)
+    n1, n2 = jnp.int32(1), jnp.int32(1 + iters)
     bump = lambda x: jax.tree_util.tree_map(lambda a: a + a.dtype.type(1e-5), x)
-    float(r1(consts, x0)), float(r2(consts, x0))  # compile both
+    float(run(consts, x0, n1))  # compile + warmup
     x1 = bump(x0)
     t0 = time.perf_counter()
-    float(r1(consts, x1))
+    float(run(consts, x1, n1))
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    float(r2(consts, x1))
+    float(run(consts, x1, n2))
     t2 = time.perf_counter() - t0
-    return max(t2 - t1, 1e-9) / (n2 - n1)
+    return max(t2 - t1, 1e-9) / iters
 
 
 def program_tflops(fn, *args) -> float:

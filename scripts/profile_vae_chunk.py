@@ -28,6 +28,10 @@ def main():
     iters = 3
     if "--iters" in sys.argv:
         iters = int(sys.argv[sys.argv.index("--iters") + 1])
+    chunks = (8, 16, 32, 64)
+    if "--chunks" in sys.argv:  # each chunk size is a fresh full-program compile
+        chunks = tuple(int(c) for c in
+                       sys.argv[sys.argv.index("--chunks") + 1].split(","))
 
     import jax
     import jax.numpy as jnp
@@ -62,7 +66,7 @@ def main():
     t_range = (jnp.int32(20), jnp.int32(200))
 
     results = {}
-    for chunk in (8, 16, 32, 64):
+    for chunk in chunks:
         g2 = type(guidance)(
             guidance.unet_apply, guidance.vae_encode,
             cfg=dataclasses.replace(guidance.cfg, vae_encode_chunk=chunk),
