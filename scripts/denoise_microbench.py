@@ -150,6 +150,74 @@ def bench_geglu_fused(batch=128, seq=1024, ch=320):
     return chain_bench(fn, x, iters=20, consts=(w1, b1, w2, b2))
 
 
+def bench_motion_layout(lvl, ch, hw, fused=False, bn=8, f=16):
+    """MotionModule layout chain: (bn·f, hw, c) conv activations →
+    proj_in → temporal tokens (bn·hw, f, c) → proj_out → back.
+
+    ``fused=False`` is the production path (explicit transpose, then plain
+    matmul); ``fused=True`` rides both layout moves on the projections as
+    permuted-output einsums so the transpose becomes the dot_general's
+    output layout instead of a separate HBM pass."""
+    import jax.numpy as jnp
+
+    x = jnp.asarray(_rng(bn * f, hw, ch), jnp.bfloat16)
+    w_in = jnp.asarray(_rng(ch, ch) * 0.02, jnp.bfloat16)
+    w_out = jnp.asarray(_rng(ch, ch) * 0.02, jnp.bfloat16)
+
+    if fused:
+        def fn(ws, x):
+            w_in, w_out = ws
+            xr = x.reshape(bn, f, hw, ch)
+            h = jnp.einsum("bfxc,cd->bxfd", xr, w_in)  # (bn, hw, f, c)
+            h = h * 1.000001  # stand-in for the temporal attention
+            y = jnp.einsum("bxfd,dc->bfxc", h, w_out)
+            return y.reshape(bn * f, hw, ch)
+    else:
+        def fn(ws, x):
+            w_in, w_out = ws
+            h = (x.reshape(bn, f, hw, ch).transpose(0, 2, 1, 3)
+                 .reshape(bn * hw, f, ch))
+            h = h @ w_in
+            h = h * 1.000001
+            h = h @ w_out
+            return (h.reshape(bn, hw, f, ch).transpose(0, 2, 1, 3)
+                    .reshape(bn * f, hw, ch))
+
+    return chain_bench(fn, x, iters=20, consts=(w_in, w_out))
+
+
+def bench_spatial_layout(lvl, ch, hw, fused=False, bn=8, f=16, n=4):
+    """SpatioTemporalAttention spatial-branch move: temporal tokens
+    (bn·hw, f, c) → (b·f, n·hw, c) for the cross-view spatial attention and
+    back, around its q projection (the k/v/out projections pay the same)."""
+    import jax.numpy as jnp
+
+    b = bn // n
+    x = jnp.asarray(_rng(bn * hw, f, ch), jnp.bfloat16)
+    w = jnp.asarray(_rng(ch, ch) * 0.02, jnp.bfloat16)
+    w2 = jnp.asarray(_rng(ch, ch) * 0.02, jnp.bfloat16)
+
+    if fused:
+        def fn(ws, x):
+            w, w2 = ws
+            xr = x.reshape(b, n * hw, f, ch)
+            q = jnp.einsum("bsfc,cd->bfsd", xr, w)  # (b, f, n·hw, d)
+            q = q * 1.000001  # stand-in for the spatial attention
+            y = jnp.einsum("bfsd,dc->bsfc", q, w2)
+            return y.reshape(bn * hw, f, ch)
+    else:
+        def fn(ws, x):
+            w, w2 = ws
+            xs = (x.reshape(b, n * hw, f, ch).transpose(0, 2, 1, 3)
+                  .reshape(b * f, n * hw, ch))
+            h = (xs @ w) * 1.000001
+            h = h @ w2
+            return (h.reshape(b, f, n * hw, ch).transpose(0, 2, 1, 3)
+                    .reshape(bn * hw, f, ch))
+
+    return chain_bench(fn, x, iters=20, consts=(w, w2))
+
+
 def bench_qkv(batch=32, seq=4096, ch=320, fused=False):
     """3 shared-input projections as separate matmuls vs one concatenated
     matmul (attention_layers._shared_input_proj)."""
@@ -239,6 +307,16 @@ def main(argv):
                 sec = bench_geglu(128, res * res, ch)
                 out[f"geglu_{tag}_ms"] = round(sec * 1e3, 3)
                 print(f"GEGLU xla {tag} (128,{res*res},{ch}): {sec*1e3:.2f} ms")
+    if want("layout"):
+        for lvl, ch, hw in ((0, 320, 1024), (1, 640, 256), (2, 1280, 64)):
+            for fused in (False, True):
+                tag = "einsum" if fused else "transpose"
+                sec = bench_motion_layout(lvl, ch, hw, fused=fused)
+                out[f"motion_layout_L{lvl}_{tag}_ms"] = round(sec * 1e3, 3)
+                print(f"motion layout L{lvl} {tag}: {sec*1e3:.2f} ms")
+                sec = bench_spatial_layout(lvl, ch, hw, fused=fused)
+                out[f"spatial_layout_L{lvl}_{tag}_ms"] = round(sec * 1e3, 3)
+                print(f"spatial layout L{lvl} {tag}: {sec*1e3:.2f} ms")
     if want("qkv"):
         for fused in (False, True):
             sec = bench_qkv(fused=fused)
