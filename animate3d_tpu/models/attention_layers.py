@@ -36,7 +36,9 @@ from animate3d_tpu.ops.attention import (
     DP as _LANE,
     flash_attention_padded,
     multi_head_attention,
+    packed_temporal_flash_padded,
     padded_flash_plan,
+    padded_packed_plan,
 )
 from animate3d_tpu.ops.geglu import geglu_ff
 from animate3d_tpu.models.embeddings import (
@@ -314,9 +316,22 @@ class SpatioTemporalAttention(nn.Module):
         if use_extra_encoding:
             x = add_temporal_positional_embedding(x, self.max_seq_length)
 
-        q, k, v = _shared_input_proj(x, ("to_q", "to_k", "to_v"), c, self.dtype)
-        h_t = multi_head_attention(q, k, v, self.num_heads)
-        h_t = dense(c, True, "to_out_0")(h_t)
+        if padded_packed_plan(bl, f, c, self.num_heads):
+            # lane-padded fused temporal path: projections emit the packed
+            # kernel's (B, F, H·128) layout directly; softmax stays in VMEM
+            # both directions (fwd + bwd), replacing the XLA packed path's
+            # HBM logits and head-split transposes
+            q, k, v = _padded_head_proj(x, ("to_q", "to_k", "to_v"), c,
+                                        self.num_heads, self.dtype)
+            h_t = packed_temporal_flash_padded(
+                q, k, v, self.num_heads, (c // self.num_heads) ** -0.5)
+            w0, b0 = _DenseParams(c, c, name="to_out_0")()
+            h_t = (h_t @ _pad_head_rows(w0.astype(self.dtype), self.num_heads)
+                   + b0.astype(self.dtype))
+        else:
+            q, k, v = _shared_input_proj(x, ("to_q", "to_k", "to_v"), c, self.dtype)
+            h_t = multi_head_attention(q, k, v, self.num_heads)
+            h_t = dense(c, True, "to_out_0")(h_t)
 
         out_init = (nn.initializers.zeros if not self.use_alpha_blender
                     else nn.initializers.lecun_normal())
@@ -397,6 +412,14 @@ class TemporalSelfAttention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = self.channels
+        if padded_packed_plan(x.shape[0], x.shape[1], c, self.num_heads):
+            q, k, v = _padded_head_proj(x, ("to_q", "to_k", "to_v"), c,
+                                        self.num_heads, self.dtype)
+            h = packed_temporal_flash_padded(
+                q, k, v, self.num_heads, (c // self.num_heads) ** -0.5)
+            w0, b0 = _DenseParams(c, c, name="to_out_0")()
+            return (h @ _pad_head_rows(w0.astype(self.dtype), self.num_heads)
+                    + b0.astype(self.dtype))
         q, k, v = _shared_input_proj(x, ("to_q", "to_k", "to_v"), c, self.dtype)
         h = multi_head_attention(q, k, v, self.num_heads)
         return nn.Dense(c, use_bias=True, dtype=self.dtype, name="to_out_0")(h)

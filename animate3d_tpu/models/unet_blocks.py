@@ -25,8 +25,17 @@ from animate3d_tpu.models.attention_layers import (
     SpatioTemporalAttention,
     TemporalSelfAttention,
     TextCrossAttention,
+    _DenseParams,
 )
 from animate3d_tpu.models.embeddings import add_temporal_positional_embedding
+
+# Fuse the MotionModule's (b f) x c ↔ (b x) f c layout moves into the
+# proj_in/proj_out matmuls (permuted-output einsums) when the spatial token
+# count is at least this large. Measured (docs/denoise_microbench.json
+# motion_layout_*): the fused einsum wins at L0 (hw=1024: 1.56 → 0.36 ms)
+# and L1 (hw=256: 0.27 → 0.22) but loses at L2 (hw=64: 0.04 → 0.27), where
+# XLA already folds the tiny transpose into neighbors.
+_FUSE_LAYOUT_MIN_HW = 256
 
 
 @dataclass(frozen=True)
@@ -212,9 +221,31 @@ class MotionModule(nn.Module):
     def __call__(self, x: jnp.ndarray, num_frames: int) -> jnp.ndarray:
         bnf, hh, ww, c = x.shape
         bn = bnf // num_frames
+        hw = hh * ww
         residual = x
         h = x.reshape(bn, num_frames, hh, ww, c)
         h = nn.GroupNorm(num_groups=32, epsilon=1e-6, dtype=self.dtype, name="norm")(h)
+        if hw >= _FUSE_LAYOUT_MIN_HW:
+            # ride the (b f) x c → (b x) f c layout move on the projection:
+            # the permuted-output einsum makes the transpose the dot's output
+            # layout instead of a separate HBM pass (and symmetrically on the
+            # way out). Same params (<name>/{kernel,bias}), same math.
+            w_in, b_in = _DenseParams(c, self.channels, name="proj_in")()
+            h = (jnp.einsum("bfxc,cd->bxfd",
+                            h.reshape(bn, num_frames, hw, c).astype(self.dtype),
+                            w_in.astype(self.dtype))
+                 + b_in.astype(self.dtype)).reshape(bn * hw, num_frames,
+                                                    self.channels)
+            h = MotionTransformerBlock(
+                self.channels, self.num_heads, self.num_views, self.attn_cfg,
+                self.max_seq_length, dtype=self.dtype, name="transformer_blocks_0",
+            )(h, hh, ww)
+            w_out, b_out = _DenseParams(self.channels, c, name="proj_out")()
+            h = (jnp.einsum("bxfd,dc->bfxc",
+                            h.reshape(bn, hw, num_frames, self.channels),
+                            w_out.astype(self.dtype))
+                 + b_out.astype(self.dtype))
+            return h.reshape(bnf, hh, ww, c) + residual
         h = h.transpose(0, 2, 3, 1, 4).reshape(bn * hh * ww, num_frames, c)
         h = nn.Dense(self.channels, dtype=self.dtype, name="proj_in")(h)
         h = MotionTransformerBlock(

@@ -752,6 +752,179 @@ def _flash_padded_bwd(num_heads, scale, res, g):
 flash_attention_padded.defvjp(_flash_padded_fwd, _flash_padded_bwd)
 
 
+def _packed_padded_kernel(q_ref, k_ref, v_ref, o_ref, *, seq: int,
+                          scale: float, num_heads: int):
+    """One grid cell: ONE packed group of 128 tokens (128//seq tiny
+    sequences), ALL heads. Heads live side-by-side on the lane axis in the
+    merged (·, 128, H·128) layout, so each head's block is a 128-aligned
+    lane slice — full-width MXU dots (the zero pad lanes contribute nothing)
+    with no lane rotations, unlike the per-head (128, D) blocks of
+    :func:`_packed_temporal_kernel` that idle (128−D)/128 of the VPU/MXU.
+    Cross-sequence scores are masked to the block-diagonal; the (128, 128)
+    f32 scores and probabilities never leave VMEM (the XLA packed path
+    round-trips ~1 GB of them through HBM per L0 temporal call)."""
+    log2e = 1.4426950408889634
+    ps = q_ref.shape[1]
+    blk = jax.lax.broadcasted_iota(jnp.int32, (ps, ps), 0) // seq
+    blk_t = jax.lax.broadcasted_iota(jnp.int32, (ps, ps), 1) // seq
+    neg = jnp.where(blk == blk_t, 0.0, -1e30).astype(jnp.float32)
+    for h in range(num_heads):
+        sl = slice(h * DP, (h + 1) * DP)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        # scale AFTER the dot in f32 (pre-scaling q would round through bf16
+        # before the MXU); base-2 softmax via native exp2
+        s = (jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+             * (scale * log2e) + neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        acc = jnp.dot((p / l).astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
+        o_ref[0, :, sl] = acc.astype(o_ref.dtype)
+
+
+def _packed_padded_bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref,
+                              dv_ref, *, seq: int, scale: float,
+                              num_heads: int):
+    """Fused backward for :func:`_packed_padded_kernel`: the whole group's
+    scores fit VMEM, so one cell recomputes p and emits dq/dk/dv for its
+    group outright — no cross-cell accumulation, no HBM probabilities (the
+    XLA-recompute backward the old packed path used materializes the packed
+    (G, H, 128, 128) f32 logits AND probs in the guidance/trainer grads)."""
+    log2e = 1.4426950408889634
+    ps = q_ref.shape[1]
+    blk = jax.lax.broadcasted_iota(jnp.int32, (ps, ps), 0) // seq
+    blk_t = jax.lax.broadcasted_iota(jnp.int32, (ps, ps), 1) // seq
+    neg = jnp.where(blk == blk_t, 0.0, -1e30).astype(jnp.float32)
+    for h in range(num_heads):
+        sl = slice(h * DP, (h + 1) * DP)
+        q = q_ref[0, :, sl]
+        k = k_ref[0, :, sl]
+        v = v_ref[0, :, sl]
+        g = g_ref[0, :, sl]
+        s = (jnp.dot(q, k.T, preferred_element_type=jnp.float32)
+             * (scale * log2e) + neg)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m)
+        l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-30)
+        pt = p / l  # normalized probs, f32
+        ptc = pt.astype(v.dtype)
+        o = jnp.dot(ptc, v, preferred_element_type=jnp.float32)
+        dpt = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+        delta = jnp.sum(g.astype(jnp.float32) * o, axis=-1, keepdims=True)
+        ds = pt * (dpt - delta)
+        dsc = ds.astype(q.dtype)
+        dq_ref[0, :, sl] = (jnp.dot(dsc, k, preferred_element_type=jnp.float32)
+                            * scale).astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = (jnp.dot(dsc.T, q, preferred_element_type=jnp.float32)
+                            * scale).astype(dk_ref.dtype)
+        dv_ref[0, :, sl] = jnp.dot(ptc.T, g, preferred_element_type=jnp.float32
+                                   ).astype(dv_ref.dtype)
+
+
+def _pack_padded_groups(xs, seq: int):
+    """(B, S, CHD) arrays → (G, 128, CHD) packed groups (zero-padded B)."""
+    B = xs[0].shape[0]
+    P = 128 // seq
+    pad_b = (-B) % P
+    if pad_b:
+        xs = [jnp.pad(x, ((0, pad_b), (0, 0), (0, 0))) for x in xs]
+    G = (B + pad_b) // P
+    return [x.reshape(G, P * seq, x.shape[-1]) for x in xs], G
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def packed_temporal_flash_padded(q, k, v, num_heads: int, scale: float):
+    """Fused packed tiny-sequence attention in the lane-padded merged-head
+    layout: q/k/v (B, S, H·128) with head i's D real values at lanes
+    [i·128, i·128+D) and exact zeros elsewhere (produced directly by
+    lane-padded projection weights, models/attention_layers.py::
+    _padded_head_proj) → out (B, S, H·128), same convention.
+
+    This is the production temporal-attention path (reference
+    animatediff/models/motion_module.py VersatileAttention, temporal mode —
+    (B·N·H·W) independent 16-token sequences): sequences pack 128//S per
+    group, heads stay side-by-side on lanes, and both softmax directions run
+    fused in VMEM, forward AND backward. Differentiable."""
+    return _packed_padded_fwd_impl(q, k, v, num_heads, scale)
+
+
+def _packed_padded_fwd_impl(q, k, v, num_heads: int, scale: float):
+    B, S, chd = q.shape
+    assert chd == num_heads * DP, (chd, num_heads)
+    assert 128 % S == 0, S
+    (qg, kg, vg), G = _pack_padded_groups([q, k, v], S)
+    spec = pl.BlockSpec((1, 128, chd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_packed_padded_kernel, seq=S, scale=scale,
+                          num_heads=num_heads),
+        grid=(G,),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((G, 128, chd), q.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(qg, kg, vg)
+    return out.reshape(G * (128 // S), S, chd)[:B]
+
+
+def _packed_padded_fwd(q, k, v, num_heads, scale):
+    return _packed_padded_fwd_impl(q, k, v, num_heads, scale), (q, k, v)
+
+
+def _packed_padded_bwd(num_heads, scale, res, g):
+    q, k, v = res
+    B, S, chd = q.shape
+    (qg, kg, vg, gg), G = _pack_padded_groups(
+        [q, k, v, g.astype(q.dtype)], S)
+    spec = pl.BlockSpec((1, 128, chd), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    shape = jax.ShapeDtypeStruct((G, 128, chd), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_packed_padded_bwd_kernel, seq=S, scale=scale,
+                          num_heads=num_heads),
+        grid=(G,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=[spec, spec, spec],
+        out_shape=[shape, shape, shape],
+        interpret=jax.default_backend() != "tpu",
+    )(qg, kg, vg, gg)
+    P = 128 // S
+    return tuple(x.reshape(G * P, S, chd)[:B] for x in (dq, dk, dv))
+
+
+packed_temporal_flash_padded.defvjp(_packed_padded_fwd, _packed_padded_bwd)
+
+
+def padded_packed_plan(batch: int, seq: int, channels: int,
+                       num_heads: int) -> bool:
+    """True when a tiny-sequence self-attention should take
+    :func:`packed_temporal_flash_padded` — callers then pre-pad heads via
+    projection weights, skipping the packed XLA path's HBM logits and
+    head-split transposes. Mirrors :func:`padded_flash_plan`'s override/sp
+    gating (non-flash backend overrides and an sp ring that would claim the
+    sequence both consume the unpadded (B, S, C) layout)."""
+    d = channels // num_heads
+    if d >= DP or jax.default_backend() != "tpu":
+        return False
+    if seq > 32 or 128 % seq != 0:
+        return False
+    if batch < 2 * (128 // seq):  # same gate as the packable check below
+        return False
+    override = getattr(_backend_override, "name", None)
+    if override not in (None, "flash", "auto"):
+        return False
+    sp = getattr(_backend_override, "sp", None)
+    if sp is not None:
+        mesh, axis_name, min_seq = sp
+        n_sp = mesh.shape[axis_name]
+        if seq % n_sp == 0 and seq >= max(2 * n_sp, min_seq):
+            return False
+    return True
+
+
 def padded_flash_plan(batch: int, sq: int, sk: int, channels: int,
                       num_heads: int) -> bool:
     """True when ``multi_head_attention("auto")`` would route this shape to

@@ -218,6 +218,42 @@ def bench_spatial_layout(lvl, ch, hw, fused=False, bn=8, f=16, n=4):
     return chain_bench(fn, x, iters=20, consts=(w, w2))
 
 
+def bench_temporal_chain(batch, seq, ch, heads, padded):
+    """Full temporal-attention chain (q/k/v projections → attention →
+    out-projection): the production unpadded path (separate matmuls + XLA
+    packed attention) vs the lane-padded fused path (padded projections →
+    packed_temporal_flash_padded → row-padded out-projection)."""
+    import jax.numpy as jnp
+    from animate3d_tpu.models.attention_layers import (_pad_head_cols,
+                                                       _pad_head_rows)
+    from animate3d_tpu.ops.attention import (multi_head_attention,
+                                             packed_temporal_flash_padded)
+
+    x = jnp.asarray(_rng(batch, seq, ch), jnp.bfloat16)
+    ws = [jnp.asarray(_rng(ch, ch) * 0.02, jnp.bfloat16) for _ in range(4)]
+    scale = (ch // heads) ** -0.5
+
+    if padded:
+        wq, wk, wv = (_pad_head_cols(w, heads) for w in ws[:3])
+        wo = _pad_head_rows(ws[3], heads)
+
+        def fn(consts, x):
+            wq, wk, wv, wo = consts
+            h = packed_temporal_flash_padded(x @ wq, x @ wk, x @ wv, heads,
+                                             scale)
+            return h @ wo
+
+        return chain_bench(fn, x, iters=20, consts=(wq, wk, wv, wo))
+
+    def fn(consts, x):
+        wq, wk, wv, wo = consts
+        h = multi_head_attention(x @ wq, x @ wk, x @ wv, heads,
+                                 backend="packed")
+        return h @ wo
+
+    return chain_bench(fn, x, iters=20, consts=tuple(ws))
+
+
 def bench_qkv(batch=32, seq=4096, ch=320, fused=False):
     """3 shared-input projections as separate matmuls vs one concatenated
     matmul (attention_layers._shared_input_proj)."""
@@ -317,6 +353,16 @@ def main(argv):
                 sec = bench_spatial_layout(lvl, ch, hw, fused=fused)
                 out[f"spatial_layout_L{lvl}_{tag}_ms"] = round(sec * 1e3, 3)
                 print(f"spatial layout L{lvl} {tag}: {sec*1e3:.2f} ms")
+    if want("tchain"):
+        for lvl, b, s, c, h in TEMPORAL:
+            if c // h >= 128:
+                continue  # L2 160-dim heads: no lane padding possible
+            for padded in (False, True):
+                tag = "padded" if padded else "xla_packed"
+                sec = bench_temporal_chain(b, s, c, h, padded)
+                out[f"tchain_L{lvl}_{tag}_ms"] = round(sec * 1e3, 3)
+                print(f"temporal chain L{lvl} ({b},{s},{c}) {tag}: "
+                      f"{sec*1e3:.2f} ms x{N_TEMPORAL[lvl]}/step")
     if want("qkv"):
         for fused in (False, True):
             sec = bench_qkv(fused=fused)

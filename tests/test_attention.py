@@ -337,6 +337,109 @@ class TestPackedTemporalFlash:
                                        atol=2e-5, rtol=2e-5, err_msg=name)
 
 
+class TestPackedTemporalFlashPadded:
+    """ops/attention.py::packed_temporal_flash_padded — the lane-padded
+    fused packed kernel (one grid cell per 128-token packed group, all heads
+    side-by-side on lanes, fused Pallas forward AND backward). Production
+    temporal-attention path; must match the packed XLA path on the real
+    lanes and keep pad lanes exactly zero."""
+
+    def _mk(self, rng, b, s, h, d):
+        from animate3d_tpu.ops import attention as A
+
+        x = jnp.asarray(rng.normal(size=(b, s, h * d)), jnp.float32)
+        xp = jnp.pad(x.reshape(b, s, h, d),
+                     ((0, 0), (0, 0), (0, 0), (0, A.DP - d))
+                     ).reshape(b, s, h * A.DP)
+        return x, xp
+
+    @pytest.mark.parametrize("b,s", [(24, 16), (13, 16), (17, 8)])
+    def test_forward_matches_packed_xla(self, rng, b, s):
+        # b=13/17 exercise the pad-to-group-multiple + slice-back path
+        from animate3d_tpu.ops import attention as A
+
+        h, d = 2, 24
+        q, qp = self._mk(rng, b, s, h, d)
+        k, kp = self._mk(rng, b, s, h, d)
+        v, vp = self._mk(rng, b, s, h, d)
+        with jax.default_matmul_precision("highest"):
+            ref = A._packed_small_attention(q, k, v, h, d ** -0.5)
+            out_p = A.packed_temporal_flash_padded(qp, kp, vp, h, d ** -0.5)
+        out = out_p.reshape(b, s, h, A.DP)[..., :d].reshape(b, s, h * d)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-5, rtol=1e-4)
+        # pad lanes must stay exact zeros (the row-padded out-projection
+        # relies on it)
+        pads = np.asarray(out_p.reshape(b, s, h, A.DP)[..., d:])
+        assert (pads == 0).all()
+
+    def test_gradients_match_packed_xla(self, rng):
+        from animate3d_tpu.ops import attention as A
+
+        b, s, h, d = 24, 16, 2, 24
+        q, _ = self._mk(rng, b, s, h, d)
+        k, _ = self._mk(rng, b, s, h, d)
+        v, _ = self._mk(rng, b, s, h, d)
+
+        def pad(x):
+            return jnp.pad(x.reshape(b, s, h, d),
+                           ((0, 0), (0, 0), (0, 0), (0, A.DP - d))
+                           ).reshape(b, s, h * A.DP)
+
+        def loss_padded(q, k, v):
+            o = A.packed_temporal_flash_padded(pad(q), pad(k), pad(v), h,
+                                               d ** -0.5)
+            o = o.reshape(b, s, h, A.DP)[..., :d].reshape(b, s, h * d)
+            return jnp.sum(jnp.sin(o))
+
+        def loss_ref(q, k, v):
+            return jnp.sum(jnp.sin(
+                A._packed_small_attention(q, k, v, h, d ** -0.5)))
+
+        with jax.default_matmul_precision("highest"):
+            g_p = jax.grad(loss_padded, argnums=(0, 1, 2))(q, k, v)
+            g_r = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b_, name in zip(g_p, g_r, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=2e-4, rtol=2e-4, err_msg=name)
+
+    def test_temporal_layer_padded_path_matches(self, rng, monkeypatch):
+        """TemporalSelfAttention with the packed plan forced on must match
+        the unpadded path with the SAME params."""
+        from animate3d_tpu.models import attention_layers as L
+
+        b, f, c, heads = 24, 16, 48, 2
+        x = jnp.asarray(rng.normal(size=(b, f, c)), jnp.float32)
+        layer = L.TemporalSelfAttention(channels=c, num_heads=heads)
+        params = layer.init(jax.random.PRNGKey(0), x)
+        ref = layer.apply(params, x)
+        monkeypatch.setattr(L, "padded_packed_plan", lambda *a: True)
+        out = layer.apply(params, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-4, rtol=2e-3)
+        # param tree identical under both plans (checkpoint compatibility)
+        p_on = layer.init(jax.random.PRNGKey(0), x)
+        assert (jax.tree_util.tree_structure(p_on)
+                == jax.tree_util.tree_structure(params))
+
+    def test_spatiotemporal_temporal_branch_padded_matches(self, rng,
+                                                           monkeypatch):
+        from animate3d_tpu.models import attention_layers as L
+
+        b, n, f, hgt, wid, c, heads = 1, 2, 16, 8, 8, 48, 2
+        hw = hgt * wid
+        x = jnp.asarray(rng.normal(size=(b * n * hw, f, c)), jnp.float32)
+        layer = L.SpatioTemporalAttention(channels=c, num_heads=heads,
+                                          num_views=n, spatial_attn=True,
+                                          image_attn=True)
+        params = layer.init(jax.random.PRNGKey(0), x, hgt, wid)
+        ref = layer.apply(params, x, hgt, wid)
+        monkeypatch.setattr(L, "padded_packed_plan", lambda *a: True)
+        out = layer.apply(params, x, hgt, wid)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=3e-4, rtol=2e-3)
+
+
 class TestFusedGEGLU:
     """ops/geglu.py — fused feed-forward kernel parity vs the reference
     Dense/split/gelu/Dense chain (docs/denoise_roofline.md lever (b))."""

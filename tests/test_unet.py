@@ -81,6 +81,40 @@ def test_gradient_checkpointing_matches(tiny_unet):
                                    atol=1e-4, rtol=2e-3)
 
 
+def test_motion_module_fused_layout_matches():
+    """MotionModule's einsum-fused proj_in/out layout path (hw ≥
+    _FUSE_LAYOUT_MIN_HW) must match the explicit-transpose path with the
+    SAME params — the permuted-output einsum is the same matmul with the
+    layout move folded into the dot's output."""
+    from animate3d_tpu.models import unet_blocks as UB
+
+    rng = np.random.default_rng(7)
+    bn, f, hh, ww, c = 2, 4, 4, 4, 32
+    x = jnp.asarray(rng.normal(size=(bn * f, hh, ww, c)), jnp.float32)
+    mod = UB.MotionModule(channels=c, num_heads=2, num_views=2,
+                          attn_cfg=UB.MotionAttnConfig(enabled=False))
+    params = mod.init(jax.random.PRNGKey(0), x, f)
+    assert hh * ww < UB._FUSE_LAYOUT_MIN_HW
+    ref = mod.apply(params, x, f)
+
+    prev = UB._FUSE_LAYOUT_MIN_HW
+    UB._FUSE_LAYOUT_MIN_HW = 1
+    try:
+        p_fused = mod.init(jax.random.PRNGKey(0), x, f)
+        out = mod.apply(params, x, f)
+    finally:
+        UB._FUSE_LAYOUT_MIN_HW = prev
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # identical param tree + identical init values (checkpoint and RNG-path
+    # compatibility between nn.Dense and _DenseParams declarations)
+    assert (jax.tree_util.tree_structure(p_fused)
+            == jax.tree_util.tree_structure(params))
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(p_fused)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_param_count_sd15_scale():
     # full-size config builds and has SD1.5-scale parameter count (~1.3B total
     # incl. motion modules & adapters; base SD1.5 UNet alone is 860M)
